@@ -1,0 +1,48 @@
+"""Multi-head self-attention.
+
+Semantics match the reference BertSelfAttention
+(`src/modeling/transformers.py:202-286`): softmax(QK^T/sqrt(d) + bias)V with
+an additive mask bias and dropout on the attention probabilities.
+
+TPU notes: joint ClipBERT sequences are short (<= ~620 tokens), so a single
+batched einsum chain keeps the MXU busy without flash-style tiling; softmax
+runs in fp32. The einsum formulation avoids the reshape/permute round-trips
+of the torch code — XLA fuses scale+bias+softmax into the matmul epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from clipbert_tpu.ops.dropout import dropout
+from clipbert_tpu.ops.linear import linear
+
+
+def multi_head_attention(
+    hidden: jnp.ndarray,            # (B, L, D)
+    params: Dict,                   # {query,key,value: {kernel,bias}}
+    num_heads: int,
+    mask_bias: Optional[jnp.ndarray] = None,  # (B, 1, 1, L) or (B,1,L,L) additive
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    B, L, D = hidden.shape
+    head_dim = D // num_heads
+
+    q = linear(hidden, params["query"]).reshape(B, L, num_heads, head_dim)
+    k = linear(hidden, params["key"]).reshape(B, L, num_heads, head_dim)
+    v = linear(hidden, params["value"]).reshape(B, L, num_heads, head_dim)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(head_dim))
+    if mask_bias is not None:
+        scores = scores + mask_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = dropout(probs, dropout_rate, dropout_key)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(hidden.dtype), v,
+                     preferred_element_type=jnp.float32).astype(hidden.dtype)
+    return ctx.reshape(B, L, D)
