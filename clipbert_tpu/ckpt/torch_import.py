@@ -126,3 +126,108 @@ def import_mlp_head(sd: Dict[str, np.ndarray], prefix: str = "classifier") -> Di
     """2-layer MLP head stored as nn.Sequential: {prefix}.0 / {prefix}.2
     (reference modeling.py:338-343)."""
     return {"fc1": _dense(sd, f"{prefix}.0"), "fc2": _dense(sd, f"{prefix}.2")}
+
+
+# ---------------------------------------------------------------------------
+# ResNet-50 backbone importers
+# ---------------------------------------------------------------------------
+
+BN_EPS = 1e-5  # torch BatchNorm2d / detectron2 FrozenBatchNorm2d default
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv (O, I, kh, kw) -> our HWIO (kh, kw, I, O)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _fold_bn(sd: Dict[str, np.ndarray], prefix: str,
+             weight_key: str = "weight", bias_key: str = "bias",
+             mean_key: str = "running_mean", var_key: str = "running_var",
+             eps: float = BN_EPS) -> Dict[str, np.ndarray]:
+    """BatchNorm (gamma, beta, mean, var) -> frozen (scale, bias) pair."""
+    gamma = sd[f"{prefix}.{weight_key}"].astype(np.float64)
+    beta = sd[f"{prefix}.{bias_key}"].astype(np.float64)
+    mean = sd[f"{prefix}.{mean_key}"].astype(np.float64)
+    var = sd[f"{prefix}.{var_key}"].astype(np.float64)
+    scale = gamma / np.sqrt(var + eps)
+    bias = beta - mean * scale
+    return {"scale": scale.astype(np.float32), "bias": bias.astype(np.float32)}
+
+
+def _flip_rgb_to_bgr_stem(kernel_hwio: np.ndarray) -> np.ndarray:
+    """Fold the reference's runtime RGB->BGR channel flip
+    (grid_feat.py:92-94) into the stem conv's input-channel axis, so a
+    BGR-expecting (caffe-style) checkpoint consumes RGB input directly."""
+    return kernel_hwio[:, :, ::-1, :].copy()
+
+
+def import_resnet50_torchvision(sd: Dict[str, np.ndarray]) -> Dict:
+    """torchvision resnet50 state_dict -> our params (stride_in_1x1=False).
+
+    Key scheme: conv1/bn1, layer{1..4}.{i}.conv{1..3}/bn{1..3},
+    layer{k}.0.downsample.{0,1}. (The reference documents this scheme in its
+    torchvision->d2 renamer, load_save.py:315-363.)
+    """
+    p: Dict = {"stem": {"conv": {"kernel": _conv_kernel(sd["conv1.weight"])},
+                        "bn": _fold_bn(sd, "bn1")}}
+    from clipbert_tpu.models.resnet import R50_STAGES
+    for si, (n, _, _) in enumerate(R50_STAGES):
+        blocks = []
+        for bi in range(n):
+            pre = f"layer{si + 1}.{bi}"
+            b = {f"conv{j}": {"kernel": _conv_kernel(sd[f"{pre}.conv{j}.weight"]),
+                              "bn": _fold_bn(sd, f"{pre}.bn{j}")}
+                 for j in (1, 2, 3)}
+            if f"{pre}.downsample.0.weight" in sd:
+                b["shortcut"] = {
+                    "kernel": _conv_kernel(sd[f"{pre}.downsample.0.weight"]),
+                    "bn": _fold_bn(sd, f"{pre}.downsample.1")}
+            blocks.append(b)
+        p[f"res{si + 2}"] = blocks
+    return p
+
+
+def import_resnet50_d2(sd: Dict[str, np.ndarray],
+                       bgr_checkpoint: bool = True) -> Dict:
+    """detectron2 grid-feats checkpoint -> our params (stride_in_1x1=True).
+
+    Key scheme: stem.conv1 + stem.conv1.norm (or backbone.stem...),
+    res{2..4}.{i}.conv{1..3}(.norm), shortcut(.norm); res5 may live under
+    roi_heads.res5 in grid-feats checkpoints (grid_feats/roi_heads.py:164).
+    With ``bgr_checkpoint`` the stem input channels are flipped so the model
+    takes RGB input with the BGR-trained weights.
+    """
+    # normalize prefixes: strip "backbone."/"model." and map roi_heads.res5 -> res5
+    norm: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        k = k.removeprefix("model.").removeprefix("backbone.")
+        k = k.replace("roi_heads.res5", "res5")
+        norm[k] = v
+    sd = norm
+
+    stem_kernel = _conv_kernel(sd["stem.conv1.weight"])
+    if bgr_checkpoint:
+        stem_kernel = _flip_rgb_to_bgr_stem(stem_kernel)
+    p: Dict = {"stem": {"conv": {"kernel": stem_kernel},
+                        "bn": _fold_bn(sd, "stem.conv1.norm")}}
+    from clipbert_tpu.models.resnet import R50_STAGES
+    for si, (n, _, _) in enumerate(R50_STAGES):
+        blocks = []
+        for bi in range(n):
+            pre = f"res{si + 2}.{bi}"
+            b = {f"conv{j}": {"kernel": _conv_kernel(sd[f"{pre}.conv{j}.weight"]),
+                              "bn": _fold_bn(sd, f"{pre}.conv{j}.norm")}
+                 for j in (1, 2, 3)}
+            if f"{pre}.shortcut.weight" in sd:
+                b["shortcut"] = {
+                    "kernel": _conv_kernel(sd[f"{pre}.shortcut.weight"]),
+                    "bn": _fold_bn(sd, f"{pre}.shortcut.norm")}
+            blocks.append(b)
+        p[f"res{si + 2}"] = blocks
+    return p
+
+
+def import_grid_encoder(sd: Dict[str, np.ndarray],
+                        prefix: str = "grid_encoder") -> Dict:
+    """grid_encoder nn.Sequential: {prefix}.0 = conv3x3 (grid_feat.py:43-48)."""
+    return {"conv": {"kernel": _conv_kernel(sd[f"{prefix}.0.weight"])}}

@@ -1,0 +1,177 @@
+"""ResNet-50 grid-feature backbone, TPU-native.
+
+Capability match for the reference's detectron2-based GridFeatBackbone
+(`/root/reference/src/modeling/grid_feat.py:37-105`): ResNet-50
+stem->res5 with *frozen* BatchNorm and res5 dilation forced to 1
+(`grid_feat.py:62-63`), followed by a `grid_encoder` head —
+conv3x3(2048->hidden) + 2x2 maxpool + ReLU (`grid_feat.py:43-48`) — emitting
+(B, n_frm, H', W', hidden) channels-last grid features (`grid_feat.py:99-105`).
+
+TPU-first design decisions:
+ - NHWC layout end-to-end (TPU conv units want channels-last; the reference's
+   NCHW + final permute disappears entirely).
+ - FrozenBatchNorm is stored as a precomputed per-channel (scale, bias) pair
+   (gamma/sqrt(var+eps), beta - mean*scale) applied as a fused multiply-add
+   that XLA folds into the conv epilogue. The pairs live in the param pytree
+   under "bn" so checkpoints round-trip, and the optimizer freezes them by
+   name (the reference's FrozenBatchNorm2d buffers likewise never train).
+ - The reference's runtime RGB->BGR flip (`grid_feat.py:92-94`) is folded into
+   the stem conv's input-channel order at weight-import time, so the hot path
+   never touches it. Our own random init is channel-order agnostic.
+ - `stride_in_1x1=True` matches detectron2's caffe-style blocks (stride on the
+   1x1 reduce conv); importers from torchvision use False.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict
+
+# (num_blocks, bottleneck_channels, out_channels) per stage res2..res5
+R50_STAGES: Tuple[Tuple[int, int, int], ...] = (
+    (3, 64, 256), (4, 128, 512), (6, 256, 1024), (3, 512, 2048))
+
+CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
+           padding="SAME", dilation: int = 1) -> jnp.ndarray:
+    # no preferred_element_type: its transpose rule rejects mixed bf16/f32
+    # cotangents; XLA already accumulates bf16 convs in fp32 on the MXU.
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (stride, stride), padding,
+        rhs_dilation=(dilation, dilation), dimension_numbers=CONV_DIMS)
+
+
+def frozen_bn(x: jnp.ndarray, bn: Params) -> jnp.ndarray:
+    return x * bn["scale"].astype(x.dtype) + bn["bias"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _conv_init(key, kh, kw, cin, cout):
+    # He-normal fan_out, matching torch Conv2d(kaiming) closely enough for
+    # from-scratch runs; parity runs always import pretrained weights.
+    fan_out = kh * kw * cout
+    std = (2.0 / fan_out) ** 0.5
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
+
+
+def _bn_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _block_init(key, cin, cmid, cout, has_shortcut):
+    ks = jax.random.split(key, 4)
+    p = {
+        "conv1": {"kernel": _conv_init(ks[0], 1, 1, cin, cmid), "bn": _bn_init(cmid)},
+        "conv2": {"kernel": _conv_init(ks[1], 3, 3, cmid, cmid), "bn": _bn_init(cmid)},
+        "conv3": {"kernel": _conv_init(ks[2], 1, 1, cmid, cout), "bn": _bn_init(cout)},
+    }
+    if has_shortcut:
+        p["shortcut"] = {"kernel": _conv_init(ks[3], 1, 1, cin, cout),
+                         "bn": _bn_init(cout)}
+    return p
+
+
+def init_resnet50(key) -> Params:
+    keys = jax.random.split(key, 5)
+    p: Params = {"stem": {"conv": {"kernel": _conv_init(keys[0], 7, 7, 3, 64)},
+                          "bn": _bn_init(64)}}
+    cin = 64
+    for si, (n, cmid, cout) in enumerate(R50_STAGES):
+        bkeys = jax.random.split(keys[si + 1], n)
+        blocks: List[Params] = []
+        for bi in range(n):
+            blocks.append(_block_init(bkeys[bi], cin if bi == 0 else cout,
+                                      cmid, cout, has_shortcut=(bi == 0)))
+        p[f"res{si + 2}"] = blocks
+        cin = cout
+    return p
+
+
+def init_grid_encoder(key, hidden_size: int, in_channels: int = 2048) -> Params:
+    # reference conv3x3 uses torch default kaiming-uniform; he-normal is fine
+    # for scratch init (pretrained paths import real weights)
+    return {"conv": {"kernel": _conv_init(key, 3, 3, in_channels, hidden_size)}}
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def bottleneck(x: jnp.ndarray, p: Params, stride: int,
+               stride_in_1x1: bool = True, dilation: int = 1) -> jnp.ndarray:
+    # torch-style symmetric padding must be explicit: XLA "SAME" pads (0, 1)
+    # for strided 3x3 convs while torch pads (1, 1), shifting the grid.
+    s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
+    pad3 = [(dilation, dilation), (dilation, dilation)]
+    out = jax.nn.relu(frozen_bn(
+        conv2d(x, p["conv1"]["kernel"], s1, padding="VALID"), p["conv1"]["bn"]))
+    out = jax.nn.relu(frozen_bn(
+        conv2d(out, p["conv2"]["kernel"], s2, padding=pad3, dilation=dilation),
+        p["conv2"]["bn"]))
+    out = frozen_bn(conv2d(out, p["conv3"]["kernel"], 1, padding="VALID"),
+                    p["conv3"]["bn"])
+    if "shortcut" in p:
+        sc = frozen_bn(conv2d(x, p["shortcut"]["kernel"], stride, padding="VALID"),
+                       p["shortcut"]["bn"])
+    else:
+        sc = x
+    return jax.nn.relu(out + sc)
+
+
+def max_pool(x: jnp.ndarray, window: int, stride: int, padding) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1), padding)
+
+
+def resnet50_forward(p: Params, x: jnp.ndarray,
+                     stride_in_1x1: bool = True) -> jnp.ndarray:
+    """(B, H, W, 3) preprocessed pixels -> (B, H/32, W/32, 2048) res5 features.
+
+    Equivalent of the reference's `backbone(x)` +
+    `roi_heads.get_conv5_features` pipeline (grid_feat.py:95-97) with
+    RES5_DILATION=1, i.e. a plain strided res5.
+    """
+    h = conv2d(x, p["stem"]["conv"]["kernel"], stride=2, padding=[(3, 3), (3, 3)])
+    h = jax.nn.relu(frozen_bn(h, p["stem"]["bn"]))
+    h = max_pool(h, 3, 2, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    for si in range(4):
+        blocks = p[f"res{si + 2}"]
+        stage_stride = 1 if si == 0 else 2
+        for bi, bp in enumerate(blocks):
+            h = bottleneck(h, bp, stage_stride if bi == 0 else 1,
+                           stride_in_1x1=stride_in_1x1)
+    return h
+
+
+def grid_encoder_forward(p: Params, feat: jnp.ndarray) -> jnp.ndarray:
+    """conv3x3 (2048->hidden) + maxpool2x2/2 + ReLU (grid_feat.py:43-48)."""
+    h = conv2d(feat, p["conv"]["kernel"], 1, padding=[(1, 1), (1, 1)])
+    h = max_pool(h, 2, 2, "VALID")
+    return jax.nn.relu(h)
+
+
+def grid_feat_forward(p: Params, frames: jnp.ndarray,
+                      stride_in_1x1: bool = True) -> jnp.ndarray:
+    """(B, T, H, W, 3) -> (B, T, H/64, W/64, hidden) grid features.
+
+    The frame axis folds into batch for one big conv pipeline (the MXU wants
+    batched convs), mirroring the reference's view(B*n_frm, ...) at
+    grid_feat.py:90-102 — but already channels-last, no final permute.
+    """
+    B, T, H, W, C = frames.shape
+    x = frames.reshape(B * T, H, W, C)
+    feat = resnet50_forward(p["resnet"], x, stride_in_1x1)
+    grid = grid_encoder_forward(p["grid_encoder"], feat)
+    _, Hg, Wg, D = grid.shape
+    return grid.reshape(B, T, Hg, Wg, D)
