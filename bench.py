@@ -1,0 +1,83 @@
+"""Benchmark: MSRVTT 16-clip retrieval-inference per-clip throughput.
+
+Measures the reference's per-clip unit of work (SURVEY.md §3.4) at the
+MSRVTT retrieval inference configuration (`/root/reference/src/configs/
+msrvtt_ret_base_resnet50.json:17-23`, README.md:109-124): 16 clips x
+2 frames @ 448x448 through ResNet-50 grid features + joint text-visual
+BERT-base forward (text len 20), bf16, one chip. Reported metric is
+clips/sec/chip; `vs_baseline` divides by an estimated V100 fp16 throughput
+for the same unit under the reference implementation (documented below).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clipbert_tpu.core.config import ModelConfig
+from clipbert_tpu.models import clipbert
+from clipbert_tpu.train import steps
+
+# Estimated reference throughput for this unit on one V100 (fp16, apex O2):
+# per clip ~45 GFLOPs fwd (2x ResNet-50@448 ~33 GF + BERT-base@~69 tok
+# ~12 GF); V100 fp16 peak 125 TF at a generous 25-30% realized for the
+# reference's per-clip Python loop => ~250 clips/s. The 5x-V100 north-star
+# therefore sits at vs_baseline = 5.0.
+V100_BASELINE_CLIPS_PER_SEC = 250.0
+
+NUM_CLIPS = 16
+NUM_FRM = 2
+IMG = 448
+TXT_LEN = 20
+BATCH_VIDEOS = 2  # videos per step; clips fold into batch (32 clip-forwards)
+
+
+def main():
+    cfg = ModelConfig(num_labels=2, loss_type="ce", score_agg_func="lse")
+    ts = steps.TaskSettings(head_type="retrieval", num_labels=2,
+                            loss_type="ce", score_agg_func="lse",
+                            train_n_clips=NUM_CLIPS, group_size=1)
+    params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
+    params = jax.device_put(params)
+
+    eval_step = steps.make_eval_step(cfg, ts)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "text_input_ids": jnp.asarray(
+            rng.integers(0, cfg.vocab_size, (BATCH_VIDEOS, TXT_LEN)), jnp.int32),
+        "text_input_mask": jnp.ones((BATCH_VIDEOS, TXT_LEN), jnp.int32),
+        "visual_inputs": jnp.asarray(
+            rng.standard_normal(
+                (BATCH_VIDEOS, NUM_CLIPS * NUM_FRM, IMG, IMG, 3)) * 0.5,
+            jnp.bfloat16),
+    }
+    batch = jax.device_put(batch)
+
+    # compile + warmup
+    out = eval_step(params, batch)
+    jax.block_until_ready(out["logits"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_step(params, batch)
+    jax.block_until_ready(out["logits"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = iters * BATCH_VIDEOS * NUM_CLIPS / dt
+    print(json.dumps({
+        "metric": "msrvtt_retrieval_16clip_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / V100_BASELINE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
