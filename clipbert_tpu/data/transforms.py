@@ -89,6 +89,8 @@ def resize_frames(frames: np.ndarray, max_size: int) -> np.ndarray:
     new_h, new_w = get_resize_size(H, W, max_size)
     if (new_h, new_w) == (H, W):
         return frames
+    if not frames.flags.writeable:   # e.g. mmap-backed store views
+        frames = frames.copy()
     t = torch.from_numpy(np.ascontiguousarray(frames)).permute(0, 3, 1, 2)
     t = torch.nn.functional.interpolate(
         t.float(), size=(new_h, new_w), mode="bilinear", align_corners=False)

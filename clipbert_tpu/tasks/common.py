@@ -1,0 +1,138 @@
+"""Shared task-runner plumbing: tokenizer/store setup, loader assembly,
+pooled-logit validation, and the inference-time config restore."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+
+from clipbert_tpu.ckpt import checkpoint
+from clipbert_tpu.core.config import ModelConfig, RunConfig
+from clipbert_tpu.core.mesh import data_shard
+from clipbert_tpu.data import datasets, loader, transforms
+from clipbert_tpu.data.store import open_store
+from clipbert_tpu.data.tokenization import BertTokenizer
+from clipbert_tpu.utils import distributed as dist
+from clipbert_tpu.utils.basic import load_json
+from clipbert_tpu.utils.logger import LOGGER
+
+
+def setup_tokenizer(cfg: RunConfig) -> BertTokenizer:
+    return BertTokenizer.from_dir(cfg.tokenizer_dir)
+
+
+def setup_store(path: str):
+    return open_store(path)
+
+
+def load_model_config(cfg: RunConfig, **overrides) -> ModelConfig:
+    return ModelConfig.from_json(cfg.model_config, **overrides)
+
+
+def build_train_loader(dataset, collate_fn, cfg: RunConfig,
+                       mesh=None) -> loader.PrefetchLoader:
+    sampler = loader.ShardedBatchSampler(
+        len(dataset), cfg.train_batch_size, shuffle=True, seed=cfg.seed,
+        process_index=dist.process_index(),
+        process_count=dist.process_count(), drop_last=True)
+    dl = loader.DataLoader(dataset, sampler, collate_fn,
+                           num_workers=cfg.n_workers)
+    return loader.InfiniteIterator(dl), len(sampler)
+
+
+def build_eval_loader(dataset, collate_fn, cfg: RunConfig, batch_size=None):
+    sampler = loader.ShardedBatchSampler(
+        len(dataset), batch_size or cfg.val_batch_size, shuffle=False,
+        process_index=dist.process_index(),
+        process_count=dist.process_count(), drop_last=False)
+    return loader.DataLoader(dataset, sampler, collate_fn,
+                             num_workers=cfg.n_workers)
+
+
+def device_batch(batch: Dict, mesh, mean=transforms.IMAGENET_MEAN_255,
+                 std=transforms.IMAGENET_STD_1, compute_dtype=None):
+    import jax.numpy as jnp
+    compute_dtype = compute_dtype or jnp.bfloat16
+    n_data = mesh.shape["data"]
+    dev = {}
+    host = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.dtype != object:
+            # shard the leading axis when divisible; replicate tail batches
+            if v.shape[0] % n_data == 0:
+                dev[k] = jax.device_put(v, data_shard(mesh))
+            else:
+                dev[k] = jax.device_put(v)
+        else:
+            host[k] = v
+    if "visual_inputs" in dev:
+        dev["visual_inputs"] = transforms.normalize_pixels(
+            dev["visual_inputs"], mean, std, compute_dtype)
+    return dev, host
+
+
+def classification_validate(val_loader, mesh, cfg: RunConfig,
+                            compute_dtype,
+                            collect: Callable[[np.ndarray, Dict], None],
+                            batch_pad_to: Optional[int] = None):
+    """Shared eval loop: run eval_fn over the loader, handing pooled logits +
+    host metadata to `collect`. Returns a closure for TaskSpec.validate_fn.
+
+    The produced validate(params, eval_fn) pads ragged tail batches to the
+    fixed batch size (one compiled shape), slices back to n_valid, and
+    gathers results across hosts.
+    """
+
+    def validate(params, eval_fn) -> Dict[str, Any]:
+        results: List = []
+        for batch in val_loader:
+            n_texts = batch["text_input_ids"].shape[0]
+            n_vis = batch["visual_inputs"].shape[0]
+            dev, host = device_batch(batch, mesh, compute_dtype=compute_dtype)
+            out = eval_fn(params, dev)
+            logits = np.asarray(out["logits"])[:n_texts]
+            collect(logits, {**host, "n_texts": n_texts, "n_vis": n_vis,
+                             "results": results})
+        all_results = dist.all_gather_objects(results)
+        return finalize_gathered(all_results)
+
+    return validate
+
+
+def finalize_gathered(all_results: List[List]) -> Dict[str, Any]:
+    flat = [r for rank in all_results for r in rank]
+    return {"results": flat}
+
+
+def restore_inference_config(cfg: RunConfig) -> RunConfig:
+    """At inference, replay the stored training args except inference_* keys
+    (run_video_retrieval.py:737-766)."""
+    stored = checkpoint.load_training_args(cfg.output_dir)
+    if stored is None:
+        LOGGER.warning("no stored training args found; using live config")
+        return cfg
+    return cfg.restore_from_training_args(stored)
+
+
+def load_inference_params(cfg: RunConfig, model_cfg: ModelConfig,
+                          head_type: str):
+    """Load the step-addressed deployment checkpoint
+    (run_video_qa.py:629-631)."""
+    from clipbert_tpu.train import trainer
+    saver = checkpoint.ModelSaver(cfg.output_dir)
+    step = cfg.inference_model_step
+    if step < 0:
+        steps_avail = saver.available_steps()
+        assert steps_avail, f"no checkpoints in {cfg.output_dir}"
+        step = steps_avail[-1]
+    path = saver.path(step)
+    LOGGER.info(f"loading inference params from {path}")
+    params = trainer.setup_model(
+        cfg.replace(e2e_weights_path=path, backbone_weights_path=None,
+                    bert_weights_path=None),
+        model_cfg, head_type)
+    return params, step

@@ -1,0 +1,212 @@
+"""Text-to-video retrieval task runner (MSRVTT / DiDeMo / ActivityNet).
+
+Capability match for `/root/reference/src/tasks/run_video_retrieval.py`:
+ - MIL training over `train_n_clips` random clips with mean/max/lse score
+   aggregation (:379-421) — here the clips fold into one jitted step.
+ - Full-matrix inference: every video scored against every caption, R1/R5/
+   R10/MedR/MeanR both directions (:519-625, :628-734).
+
+TPU-first inference design (SURVEY.md §3.3): each video's
+`inference_n_clips` clips are CNN-encoded ONCE and the cached grid features
+are reused across all caption minibatches — the reference recomputes the CNN
+for every (text-minibatch x clip) pair (:640-666).
+
+Annotation jsonl: train {"vid_id", "txt", "id"}; eval rows additionally have
+caption "id" equal to their line index.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clipbert_tpu.core.config import (ModelConfig, RunConfig,
+                                      inject_task_attrs, load_run_config)
+from clipbert_tpu.core.mesh import make_mesh
+from clipbert_tpu.data import datasets, loader, transforms
+from clipbert_tpu.data.datasets import (VideoRetrievalEvalDataset,
+                                        VideoRetrievalTrainDataset)
+from clipbert_tpu.evaluation import metrics as eval_metrics
+from clipbert_tpu.tasks import common
+from clipbert_tpu.train import steps, trainer
+from clipbert_tpu.utils import distributed as dist
+from clipbert_tpu.utils.basic import load_jsonl, save_json
+from clipbert_tpu.utils.logger import LOGGER
+
+
+def make_task_settings(cfg: RunConfig) -> steps.TaskSettings:
+    return steps.TaskSettings(
+        head_type="retrieval", num_labels=cfg.num_labels,
+        loss_type=cfg.loss_type, score_agg_func=cfg.score_agg_func,
+        train_n_clips=cfg.train_n_clips,
+        group_size=1 + cfg.itm_neg_size, margin=cfg.margin)
+
+
+def build_train_datalist(cfg: RunConfig, ann_path: str):
+    raw = load_jsonl(ann_path)
+    for i, d in enumerate(raw):
+        d.setdefault("id", i)
+    grouped = datasets.group_datalist_by_visual(raw, "vid_id")
+    # exactly ONE caption per video per step (each expands to 1 pos +
+    # itm_neg_size negs in the dataset)
+    groups = transforms.mk_input_group(grouped, max_n_example_per_group=1,
+                                       is_train=True)
+    return datasets.apply_data_ratio(groups, cfg.data_ratio, cfg.seed)
+
+
+def start_training(cfg: RunConfig):
+    tokenizer = common.setup_tokenizer(cfg)
+    cfg.num_labels = 2 if cfg.loss_type == "ce" else 1
+    model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
+    mesh = make_mesh()
+    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+
+    tspec = cfg.train_datasets[0]
+    groups = build_train_datalist(cfg, tspec.txt)
+    train_ds = VideoRetrievalTrainDataset(
+        groups, tokenizer, common.setup_store(tspec.img), fps=cfg.fps,
+        num_frm=cfg.num_frm, frm_sampling_strategy=cfg.frm_sampling_strategy,
+        max_img_size=cfg.max_img_size, max_txt_len=cfg.max_txt_len,
+        itm_neg_size=cfg.itm_neg_size, ensemble_n_clips=cfg.train_n_clips,
+        random_sample_clips=cfg.random_sample_clips, seed=cfg.seed)
+    train_loader, steps_per_epoch = common.build_train_loader(
+        train_ds, datasets.RetrievalCollator(tokenizer, cfg.max_txt_len),
+        cfg, mesh)
+
+    spec = trainer.TaskSpec(
+        name="video_retrieval", head_type="retrieval",
+        settings=make_task_settings(cfg),
+        train_loader=train_loader, steps_per_epoch=steps_per_epoch)
+
+    if cfg.val_datasets:
+        vspec = cfg.val_datasets[0]
+        val_raw = load_jsonl(vspec.txt)
+        for i, d in enumerate(val_raw):
+            d["id"] = i
+        val_ds = VideoRetrievalEvalDataset(
+            val_raw, tokenizer, common.setup_store(vspec.img), fps=cfg.fps,
+            num_frm=cfg.num_frm, max_img_size=cfg.max_img_size,
+            max_txt_len=cfg.max_txt_len,
+            ensemble_n_clips=cfg.inference_n_clips)
+        spec.validate_fn = lambda params, _e: inference_retrieval(
+            cfg, model_cfg, params, val_ds, mesh, compute_dtype)
+
+    return trainer.train(cfg, model_cfg, spec, mesh=mesh)
+
+
+def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
+                        eval_ds: VideoRetrievalEvalDataset, mesh,
+                        compute_dtype) -> Dict:
+    """Full (n_videos x n_captions) score matrix with cached visual features.
+
+    Scores use the softmax positive-class probability for ce heads and
+    sigmoid for rank heads (run_video_retrieval.py:679-682), pooled over
+    clips by cfg.score_agg_func.
+    """
+    ts = steps.TaskSettings(
+        head_type="retrieval", num_labels=cfg.num_labels,
+        loss_type=cfg.loss_type, score_agg_func=cfg.score_agg_func,
+        train_n_clips=cfg.inference_n_clips, group_size=1)
+    encode_fn = steps.make_visual_encode_step(model_cfg, mesh=mesh,
+                                              compute_dtype=compute_dtype)
+    score_fn = steps.make_text_score_step(model_cfg, ts, mesh=mesh,
+                                          compute_dtype=compute_dtype)
+
+    caps = eval_ds.encode_all_captions()
+    n_caps = caps["text_input_ids"].shape[0]
+    bsz = cfg.inference_batch_size
+    # pad caption minibatches to one fixed shape (single compile)
+    cap_batches = []
+    for s in range(0, n_caps, bsz):
+        ids = caps["text_input_ids"][s:s + bsz]
+        mask = caps["text_input_mask"][s:s + bsz]
+        n_valid = len(ids)
+        if n_valid < bsz:
+            pad = bsz - n_valid
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad, 0)])
+            mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
+        cap_batches.append((jnp.asarray(ids), jnp.asarray(mask), n_valid))
+
+    nf = eval_ds.num_frm
+    my_videos = range(dist.process_index(), len(eval_ds),
+                      dist.process_count())
+    rows = []  # (video_idx, scores (n_caps,))
+    for vidx in my_videos:
+        item = eval_ds[vidx]
+        vis = item["vis"]  # (n_clips*nf, S, S, 3) uint8
+        nc = vis.shape[0] // nf
+        pixels = transforms.normalize_pixels(
+            jnp.asarray(vis.reshape(nc, nf, *vis.shape[1:])),
+            compute_dtype=compute_dtype)
+        feats = encode_fn(params, pixels)  # cached once per video
+        scores = np.zeros(n_caps, np.float32)
+        for bi, (ids, mask, n_valid) in enumerate(cap_batches):
+            clip_logits = np.asarray(score_fn(params, feats, ids, mask))
+            pooled = np.asarray(
+                steps.pool_clip_logits(jnp.asarray(clip_logits),
+                                       cfg.score_agg_func))
+            if cfg.loss_type == "ce":
+                e = np.exp(pooled - pooled.max(-1, keepdims=True))
+                prob = (e / e.sum(-1, keepdims=True))[:, 1]
+            else:
+                prob = 1.0 / (1.0 + np.exp(-pooled[:, 0]))
+            s = bi * bsz
+            scores[s:s + n_valid] = prob[:n_valid]
+        rows.append((vidx, scores))
+
+    gathered = dist.all_gather_objects(rows)
+    all_rows = sorted([r for rank in gathered for r in rank])
+    score_matrix = np.stack([s for _, s in all_rows])  # (n_videos, n_caps)
+
+    # captions are rows in the metric convention -> transpose
+    vid_pos = {v: i for i, v in enumerate(eval_ds.video_ids)}
+    gt_txt2vid = np.array([vid_pos[eval_ds.gt_cap_id2vid_id[i]]
+                           for i in range(n_caps)])
+    m = eval_metrics.retrieval_metrics(score_matrix.T, gt_txt2vid)
+    flat = {f"t2v_{k}": v for k, v in m["text2video"].items()}
+    flat.update({f"v2t_{k}": v for k, v in m["video2text"].items()})
+    flat["score_matrix"] = score_matrix
+    return flat
+
+
+def start_inference(cfg: RunConfig):
+    cfg = common.restore_inference_config(cfg)
+    tokenizer = common.setup_tokenizer(cfg)
+    cfg.num_labels = 2 if cfg.loss_type == "ce" else 1
+    model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
+    mesh = make_mesh()
+    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    params, step = common.load_inference_params(cfg, model_cfg, "retrieval")
+
+    txt = cfg.inference_txt_db or cfg.val_datasets[0].txt
+    img = cfg.inference_img_db or cfg.val_datasets[0].img
+    raw = load_jsonl(txt)
+    for i, d in enumerate(raw):
+        d["id"] = i
+    ds = VideoRetrievalEvalDataset(
+        raw, tokenizer, common.setup_store(img), fps=cfg.fps,
+        num_frm=cfg.num_frm, max_img_size=cfg.max_img_size,
+        max_txt_len=cfg.max_txt_len, ensemble_n_clips=cfg.inference_n_clips)
+    m = inference_retrieval(cfg, model_cfg, params, ds, mesh, compute_dtype)
+    if dist.is_main_process() and cfg.output_dir:
+        out = {k: v for k, v in m.items() if k != "score_matrix"}
+        save_json(out, os.path.join(
+            cfg.output_dir, f"retrieval_metrics_step{step}.json"))
+        LOGGER.info(out)
+    return m
+
+
+def main(argv=None):
+    cfg = load_run_config(argv)
+    if cfg.do_inference:
+        return start_inference(cfg)
+    return start_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -352,11 +352,9 @@ def make_eval_step(cfg: ModelConfig, ts: TaskSettings,
         return {"clip_logits": clip_logits,
                 "logits": pool_clip_logits(clip_logits, ts.score_agg_func)}
 
-    if mesh is None:
-        return jax.jit(step)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(repl, data), out_shardings=data)
+    # no pinned in_shardings: eval batches keep whatever sharding the host
+    # gave them (sharded when divisible, replicated tail batches otherwise)
+    return jax.jit(step)
 
 
 def make_pretrain_eval_step(cfg: ModelConfig, ts: TaskSettings,
@@ -374,11 +372,7 @@ def make_pretrain_eval_step(cfg: ModelConfig, ts: TaskSettings,
             batch.get("itm_labels") if ts.use_itm else None)
         return {**out, **losses}
 
-    if mesh is None:
-        return jax.jit(step)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(repl, data), out_shardings=data)
+    return jax.jit(step)
 
 
 # ---------------------------------------------------------------------------
@@ -398,11 +392,7 @@ def make_visual_encode_step(cfg: ModelConfig,
     def step(params, pixels):
         return clipbert.cnn_forward(params["cnn"], pixels, compute_dtype)
 
-    if mesh is None:
-        return jax.jit(step)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(repl, data), out_shardings=data)
+    return jax.jit(step)
 
 
 def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
@@ -425,9 +415,4 @@ def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
             visual_features=f, group_size=1)
         return out["logits"].reshape(nc, B_t, -1).transpose(1, 0, 2)
 
-    if mesh is None:
-        return jax.jit(step)
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
-    return jax.jit(step, in_shardings=(repl, repl, data, data),
-                   out_shardings=data)
+    return jax.jit(step)

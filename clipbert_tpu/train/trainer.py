@@ -1,0 +1,304 @@
+"""The single trainer engine.
+
+The reference re-implements this loop five times (`src/tasks/run_*.py`,
+`src/pretrain/run_pretrain.py`, ~60% shared boilerplate — SURVEY.md §1).
+Here it exists once; task runners supply a :class:`TaskSpec` with their
+loaders, step settings, and a validation callable.
+
+Per-step semantics preserved from the reference loop (e.g.
+run_video_qa.py:455-560): running-loss EMA, schedule-derived per-group LRs,
+grad-norm logging, periodic restorer save, validation + deployment
+checkpoint every `valid_steps`, debug truncation (config.py:45-48).
+
+TPU-first: the whole step (forward all clips + losses + AdamW + schedules)
+is ONE jitted program; batches stream through the PrefetchLoader which
+overlaps host->device transfer with compute; normalization runs on device.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clipbert_tpu.ckpt import checkpoint, torch_import
+from clipbert_tpu.core.config import ModelConfig, RunConfig, inject_task_attrs
+from clipbert_tpu.core.mesh import make_mesh, replicate_tree
+from clipbert_tpu.data import transforms
+from clipbert_tpu.models import clipbert
+from clipbert_tpu.train import optim, steps
+from clipbert_tpu.utils import distributed as dist
+from clipbert_tpu.utils.logger import LOGGER, TB_LOGGER, NoOp, RunningMeter
+
+
+@dataclass
+class TaskSpec:
+    """Everything task-specific the engine needs."""
+
+    name: str
+    head_type: str
+    settings: steps.TaskSettings
+    train_loader: Any                       # iterable of host batches
+    steps_per_epoch: int
+    # validate(params, eval_step_fn) -> metrics dict
+    validate_fn: Optional[Callable] = None
+    # keys of the batch that are labels/inputs to move to device
+    mean: tuple = transforms.IMAGENET_MEAN_255
+    std: tuple = transforms.IMAGENET_STD_1
+
+
+def optim_config_from_run(cfg: RunConfig) -> optim.OptimConfig:
+    return optim.OptimConfig(
+        learning_rate=cfg.learning_rate,
+        cnn_learning_rate=cfg.cnn_learning_rate,
+        weight_decay=cfg.weight_decay,
+        cnn_weight_decay=cfg.cnn_weight_decay,
+        betas=tuple(cfg.betas),
+        grad_norm=cfg.grad_norm,
+        transformer_lr_mul=cfg.transformer_lr_mul,
+        transformer_lr_mul_prefix=cfg.transformer_lr_mul_prefix,
+        cnn_lr_mul=cfg.cnn_lr_mul,
+        cnn_lr_mul_prefix=cfg.cnn_lr_mul_prefix,
+        freeze_cnn=cfg.freeze_cnn)
+
+
+def schedule_from_run(cfg: RunConfig, num_train_steps: int,
+                      steps_per_epoch: int) -> steps.ScheduleSettings:
+    return steps.ScheduleSettings(
+        learning_rate=cfg.learning_rate,
+        cnn_learning_rate=cfg.cnn_learning_rate,
+        decay=cfg.decay, cnn_decay=cfg.cnn_lr_decay,
+        num_train_steps=num_train_steps,
+        warmup_ratio=cfg.warmup_ratio,
+        step_decay_epochs=(tuple(cfg.step_decay_epochs)
+                           if cfg.step_decay_epochs else None),
+        cnn_step_decay_epochs=(tuple(cfg.cnn_step_decay_epochs)
+                               if cfg.cnn_step_decay_epochs else None),
+        steps_per_epoch=steps_per_epoch)
+
+
+# ---------------------------------------------------------------------------
+# model setup (reference setup_model, e.g. run_video_qa.py:152-205)
+# ---------------------------------------------------------------------------
+
+def _load_flat_ckpt(path: str) -> Dict[str, np.ndarray]:
+    """Load a flat {name: np.array} dict from .npz (ours) or .pt (torch)."""
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def setup_model(run_cfg: RunConfig, model_cfg: ModelConfig, head_type: str,
+                seed: Optional[int] = None):
+    """Init params; then e2e weights OR separate cnn/bert weights, each via
+    the mismatch-tolerant merger (e2e_model.py:41-46, run_video_qa.py:185-198)."""
+    key = jax.random.key(run_cfg.seed if seed is None else seed)
+    params = clipbert.init_clipbert(key, model_cfg, head_type)
+    params = jax.tree.map(np.asarray, params)
+
+    if run_cfg.e2e_weights_path:
+        LOGGER.info(f"Loading e2e weights from {run_cfg.e2e_weights_path}")
+        flat = _load_flat_ckpt(run_cfg.e2e_weights_path)
+        if any("/" in k for k in flat):     # our own flattened format
+            params, report = checkpoint.load_with_mismatch(params, flat)
+        else:                               # reference torch e2e state_dict
+            imported = import_torch_e2e(flat, model_cfg, head_type)
+            params, report = checkpoint.load_with_mismatch(
+                params, checkpoint.flatten_tree(imported))
+        LOGGER.info(f"e2e load report: missing={len(report['missing'])} "
+                    f"mismatched={report['mismatched']}")
+    else:
+        if run_cfg.backbone_weights_path:
+            LOGGER.info(
+                f"Loading cnn weights from {run_cfg.backbone_weights_path}")
+            flat = _load_flat_ckpt(run_cfg.backbone_weights_path)
+            if any(k.startswith(("layer1", "conv1")) for k in flat):
+                cnn = torch_import.import_resnet50_torchvision(flat)
+            else:
+                cnn = torch_import.import_resnet50_d2(flat)
+            params["cnn"]["resnet"] = jax.tree.map(np.asarray, cnn)
+        if run_cfg.bert_weights_path:
+            LOGGER.info(f"Loading bert weights from {run_cfg.bert_weights_path}")
+            flat = _load_flat_ckpt(run_cfg.bert_weights_path)
+            flat = {k.removeprefix("bert."): v for k, v in flat.items()}
+            bert_tree = {
+                "embeddings": torch_import.import_bert_text_embeddings(flat),
+                "encoder": torch_import.import_bert_encoder(
+                    flat, model_cfg.num_hidden_layers),
+                "pooler": torch_import.import_bert_pooler(flat),
+            }
+            merged, _ = checkpoint.load_with_mismatch(
+                params["transformer"]["bert"],
+                checkpoint.flatten_tree(bert_tree))
+            params["transformer"]["bert"] = merged
+    return params
+
+
+def import_torch_e2e(flat: Dict[str, np.ndarray], cfg: ModelConfig,
+                     head_type: str) -> Dict:
+    """Reference e2e `model_step_N.pt` state_dict -> our full pytree.
+    Key scheme: cnn.backbone..., cnn.grid_encoder..., transformer.bert...,
+    transformer.classifier/cls... (e2e_model.py:13-27)."""
+    cnn_sd = torch_import.strip_prefix(flat, "cnn.")
+    bert_sd = torch_import.strip_prefix(flat, "transformer.bert.")
+    out: Dict = {
+        "cnn": {
+            "resnet": torch_import.import_resnet50_d2(cnn_sd),
+            "grid_encoder": torch_import.import_grid_encoder(cnn_sd),
+        },
+        "transformer": {
+            "bert": torch_import.import_clipbert_base(bert_sd, cfg)},
+    }
+    tsd = torch_import.strip_prefix(flat, "transformer.")
+    if head_type == "pretrain":
+        out["transformer"]["cls"] = torch_import.import_pretraining_heads(tsd)
+    elif f"classifier.0.weight" in tsd:
+        out["transformer"]["classifier"] = torch_import.import_mlp_head(tsd)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the loop
+# ---------------------------------------------------------------------------
+
+def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
+          mesh=None, max_steps: Optional[int] = None) -> Dict[str, Any]:
+    """Run training to completion; returns {params, global_step, history}."""
+    run_cfg.validate()
+    mesh = mesh or make_mesh()
+    main = dist.is_main_process()
+    tb = TB_LOGGER if main else NoOp()
+    out_dir = run_cfg.output_dir
+    if main and out_dir:
+        checkpoint.save_training_meta(out_dir, run_cfg.to_dict(),
+                                      model_cfg.to_dict())
+        tb.create(os.path.join(out_dir, "log"))
+
+    steps_per_epoch = max(1, spec.steps_per_epoch)
+    num_train_steps = int(math.ceil(
+        run_cfg.num_train_epochs * steps_per_epoch
+        / run_cfg.gradient_accumulation_steps))
+    if max_steps is not None:
+        num_train_steps = min(num_train_steps, max_steps)
+    if run_cfg.debug:
+        num_train_steps = min(num_train_steps, 3)   # config.py:45-48
+    valid_steps = max(int(num_train_steps / max(run_cfg.num_valid, 1)),
+                      run_cfg.min_valid_steps if not run_cfg.debug else 1)
+
+    oc = optim_config_from_run(run_cfg)
+    ss = schedule_from_run(run_cfg, num_train_steps, steps_per_epoch)
+    params = setup_model(run_cfg, model_cfg, spec.head_type)
+    meta = optim.build_group_meta(params, oc)
+    groups = optim.count_groups(meta)
+    # the reference asserts the 8-group structure (run_vqa.py:388); with an
+    # empty lr_mul prefix the corresponding "top" groups are legally empty
+    assert set(groups) <= set(range(-1, 8)), f"bad group ids: {groups}"
+
+    compute_dtype = jnp.bfloat16 if run_cfg.bf16 else jnp.float32
+    step_fn = steps.make_train_step(
+        model_cfg, spec.settings, oc, ss, meta, mesh=mesh,
+        accum_steps=run_cfg.gradient_accumulation_steps,
+        compute_dtype=compute_dtype)
+    eval_fn = steps.make_eval_step(model_cfg, spec.settings, mesh=mesh,
+                                   compute_dtype=compute_dtype) \
+        if spec.head_type != "pretrain" else \
+        steps.make_pretrain_eval_step(model_cfg, spec.settings, mesh=mesh,
+                                      compute_dtype=compute_dtype)
+
+    state = steps.init_train_state(params)
+    global_step = 0
+    restorer = None
+    if out_dir:
+        restorer = checkpoint.TrainingRestorer(
+            out_dir, save_steps=max(
+                1, int(run_cfg.save_steps_ratio * num_train_steps)))
+        resumed = restorer.restore()
+        if resumed is not None:
+            global_step, state_tree = resumed
+            state = steps.TrainState(
+                state_tree["params"],
+                optim.AdamWState(np.int32(state_tree["opt"]["step"]),
+                                 state_tree["opt"]["mu"],
+                                 state_tree["opt"]["nu"]))
+            LOGGER.info(f"resumed from restore bundle at step {global_step}")
+    state = replicate_tree(mesh, state)
+    saver = checkpoint.ModelSaver(out_dir) if (main and out_dir) else None
+
+    running = RunningMeter("train_loss")
+    history = []
+    root_key = jax.random.key(run_cfg.seed)
+    LOGGER.info(f"[{spec.name}] training for {num_train_steps} steps "
+                f"({steps_per_epoch}/epoch), validating every {valid_steps}")
+    t_start = time.time()
+
+    train_iter = iter(spec.train_loader)
+    while global_step < num_train_steps:
+        batch = next(train_iter)
+        batch = _to_device_batch(batch, mesh, spec, compute_dtype)
+        step_key = jax.random.fold_in(root_key, global_step)
+        state, metrics = step_fn(state, batch, step_key)
+        global_step += 1
+
+        loss = float(metrics["loss"])
+        running(loss)
+        tb.step()
+        tb.log_scalar_dict({"train_loss": loss,
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "lr": float(metrics["lr"]),
+                            "cnn_lr": float(metrics["cnn_lr"])}, "train")
+        if restorer is not None and main:
+            restorer.step(global_step,
+                          {"params": state.params,
+                           "opt": {"step": np.asarray(state.opt.step),
+                                   "mu": state.opt.mu, "nu": state.opt.nu}})
+
+        if global_step % valid_steps == 0 or global_step == num_train_steps:
+            elapsed = time.time() - t_start
+            LOGGER.info(f"step {global_step}/{num_train_steps} "
+                        f"loss {loss:.4f} ({elapsed:.1f}s)")
+            entry = {"step": global_step, "loss": loss}
+            if spec.validate_fn is not None:
+                val_metrics = spec.validate_fn(state.params, eval_fn)
+                tb.log_scalar_dict(
+                    {k: v for k, v in val_metrics.items()
+                     if isinstance(v, (int, float))}, "valid")
+                entry["val"] = val_metrics
+                LOGGER.info(f"validation: {val_metrics}")
+            history.append(entry)
+            if saver is not None:
+                saver.save(global_step, state.params)
+
+    return {"params": state.params, "global_step": global_step,
+            "history": history, "state": state}
+
+
+def _to_device_batch(batch: Dict, mesh, spec: TaskSpec, compute_dtype):
+    """Host batch -> device: shard on data axis, normalize pixels on device."""
+    from clipbert_tpu.core.mesh import data_shard
+    n_data = mesh.shape["data"]
+    dev = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.dtype != object:
+            assert v.shape[0] % n_data == 0, (
+                f"train batch leading dim {v.shape[0]} for '{k}' must be "
+                f"divisible by the {n_data}-way data mesh axis")
+            dev[k] = jax.device_put(v, data_shard(mesh))
+        elif hasattr(v, "dtype"):       # already on device (PrefetchLoader)
+            dev[k] = v
+    if "visual_inputs" in dev and dev["visual_inputs"].dtype == jnp.uint8:
+        dev["visual_inputs"] = transforms.normalize_pixels(
+            dev["visual_inputs"], spec.mean, spec.std, compute_dtype)
+    return dev

@@ -1,0 +1,226 @@
+"""Dataset + loader tests over synthetic media stores."""
+
+import io
+
+import numpy as np
+import pytest
+
+from clipbert_tpu.data import datasets, loader, store, tokenization, video
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tok") / "vocab.txt"
+    tokenization.write_tiny_vocab(str(p), extra_tokens=["cat", "dog", "runs",
+                                                        "a", "the"])
+    return tokenization.BertTokenizer(str(p))
+
+
+def make_jpeg(seed, h=40, w=40):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[:, :, 0] = rng.integers(0, 255)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def make_video_blob(seed, n_frames=20, h=32, w=32):
+    frames = np.full((n_frames, h, w, 3), 100, np.uint8)
+    for t in range(n_frames):
+        frames[t, :, :, 1] = min(255, t * 8)
+    return video.encode_jseq_from_array(frames, fps=10.0)
+
+
+@pytest.fixture(scope="module")
+def media(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("media") / "m.cbpk")
+    with store.PackWriter(p) as w:
+        for i in range(6):
+            w.put(f"img{i}", make_jpeg(i))
+            w.put(f"vid{i}", make_video_blob(i))
+    return store.open_store(p)
+
+
+def test_pretrain_dataset_and_collator(tok, media):
+    datalist = [(f"img{i}", [{"txt": "a cat runs"}, {"txt": "the dog"}])
+                for i in range(4)]
+    ds = datasets.PretrainDataset(datalist, tok, media, max_img_size=48,
+                                  itm_neg_prob=0.5, seed=0)
+    item = ds[0]
+    assert item["vis"].shape == (1, 48, 48, 3)
+    assert len(item["examples"]) == 2
+    coll = datasets.PretrainCollator(tok, mlm=True, max_length=8, seed=0)
+    batch = coll([ds[0], ds[1]])
+    assert batch["visual_inputs"].shape == (2, 1, 48, 48, 3)
+    assert batch["text_input_ids"].shape == (4, 8)
+    assert batch["itm_labels"].shape == (4,)
+    assert batch["mlm_labels"].shape == (4, 8)
+    assert set(np.unique(batch["itm_labels"])) <= {0, 1}
+
+
+def test_pretrain_itm_neg_rate(tok, media):
+    datalist = [(f"img{i % 6}", [{"txt": "a cat"}]) for i in range(6)]
+    ds = datasets.PretrainDataset(datalist, tok, media, max_img_size=32,
+                                  itm_neg_prob=1.0, seed=0)
+    labels = [ds[i]["examples"][0]["itm_label"] for i in range(6)]
+    assert all(l == 0 for l in labels)
+    ds_pos = datasets.PretrainDataset(datalist, tok, media, max_img_size=32,
+                                      itm_neg_prob=0.0, seed=0)
+    labels = [ds_pos[i]["examples"][0]["itm_label"] for i in range(6)]
+    assert all(l == 1 for l in labels)
+
+
+def test_retrieval_train_dataset(tok, media):
+    datalist = [(f"vid{i}", [{"txt": "a cat runs", "id": i}])
+                for i in range(4)]
+    ds = datasets.VideoRetrievalTrainDataset(
+        datalist, tok, media, num_frm=2, fps=5, max_img_size=32,
+        itm_neg_size=1, ensemble_n_clips=2, random_sample_clips=True, seed=0)
+    item = ds[0]
+    assert item["vis"].shape == (4, 32, 32, 3)  # 2 clips x 2 frames
+    assert len(item["examples"]) == 2  # 1 pos + 1 neg
+    assert item["examples"][0]["itm_label"] == 1
+    assert item["examples"][1]["itm_label"] == 0
+    coll = datasets.RetrievalCollator(tok, max_length=8)
+    batch = coll([ds[0], ds[1]])
+    assert batch["visual_inputs"].shape == (2, 4, 32, 32, 3)
+    assert batch["text_input_ids"].shape == (4, 8)
+    assert (batch["labels"] == [1, 0, 1, 0]).all()
+
+
+def test_retrieval_eval_dataset(tok, media):
+    datalist = [{"id": i, "txt": f"cat {i}", "vid_id": f"vid{i % 3}"}
+                for i in range(6)]
+    ds = datasets.VideoRetrievalEvalDataset(
+        datalist, tok, media, num_frm=2, fps=5, max_img_size=32,
+        ensemble_n_clips=2)
+    assert len(ds) == 3  # unique videos
+    caps = ds.encode_all_captions()
+    assert caps["text_input_ids"].shape[0] == 6
+    gt = ds.gt_matrix()
+    assert gt.shape == (3, 6)
+    assert gt.sum() == 6
+    assert gt[0, 0] and gt[0, 3] and gt[1, 1]
+    item = ds[0]
+    assert item["vis"].shape == (4, 32, 32, 3)
+
+
+def test_video_qa_mc_dataset(tok, media):
+    datalist = [(f"vid{i}", [{"question": "the cat", "question_id": 10 + i,
+                              "answer": 2,
+                              "options": [f"a {j}" for j in range(5)]}])
+                for i in range(3)]
+    ds = datasets.VideoQADataset("action", datalist, tok, media, num_frm=1,
+                                 fps=5, max_img_size=32, ensemble_n_clips=1)
+    item = ds[0]
+    assert len(item["examples"][0]["texts"]) == 5
+    assert item["examples"][0]["texts"][0].endswith("a 0")
+    coll = datasets.VideoQACollator(tok, max_length=10)
+    batch = coll([ds[0], ds[1]])
+    assert batch["text_input_ids"].shape == (10, 10)  # 2 q x 5 options
+    assert (batch["labels"] == [2, 2]).all()
+    # metric
+    res = [{"question_id": 10, "answer": 2}, {"question_id": 11, "answer": 0}]
+    m = ds.evaluate_tgif_qa(res)
+    np.testing.assert_allclose(m["overall_acc"], 0.5)
+
+
+def test_video_qa_open_ended(tok, media):
+    ans2label = {"cat": 0, "dog": 1}
+    datalist = [(f"vid{i}", [{"question": "the cat", "question_id": i,
+                              "answer": "cat", "answer_type": "what"}])
+                for i in range(2)]
+    ds = datasets.VideoQADataset("msrvtt_qa", datalist, tok, media,
+                                 ans2label=ans2label, num_frm=1, fps=5,
+                                 max_img_size=32)
+    assert ds[0]["examples"][0]["label"] == 0
+    m = ds.evaluate_tgif_qa([{"question_id": 0, "answer": 0},
+                             {"question_id": 1, "answer": 1}])
+    np.testing.assert_allclose(m["overall_acc"], 0.5)
+    assert "what_acc" in m
+
+
+def test_vqa_dataset(tok, media):
+    ans2label = {"down": 0, "table": 1, "cat": 2}
+    datalist = [(f"img{i}", [{"txt": "the cat", "question_id": i,
+                              "labels": {"down": 1.0, "table": 0.3},
+                              "answer_type": "other"}])
+                for i in range(2)]
+    ds = datasets.VQADataset(datalist, tok, media, max_img_size=32,
+                             ans2label=ans2label)
+    item = ds[0]
+    t = item["examples"][0]["label"]
+    np.testing.assert_allclose(t, [1.0, 0.3, 0.0])
+    m = ds.evaluate_vqa([{"question_id": 0, "answer": "down"},
+                         {"question_id": 1, "answer": "cat"}])
+    np.testing.assert_allclose(m["overall_acc"], 0.5)
+    coll = datasets.RetrievalCollator(tok, max_length=8)
+    batch = coll([ds[0], ds[1]])
+    assert batch["labels"].shape == (2, 3)
+    assert batch["question_ids"] == [0, 1]
+
+
+def test_sharded_batch_sampler():
+    shards = []
+    for pi in range(2):
+        s = loader.ShardedBatchSampler(20, 3, shuffle=True, seed=1,
+                                       process_index=pi, process_count=2)
+        shards.append([i for b in s for i in b])
+    # disjoint across hosts
+    assert not (set(shards[0]) & set(shards[1]))
+    # drop_last: 10 per host -> 3 batches of 3
+    s = loader.ShardedBatchSampler(20, 3, process_index=0, process_count=2)
+    assert len(list(s)) == 3 == len(s)
+    # different epoch -> different order
+    s.set_epoch(0); e0 = list(s)
+    s.set_epoch(1); e1 = list(s)
+    assert e0 != e1
+
+
+def test_dataloader_threaded():
+    class Squares:
+        def __getitem__(self, i):
+            return i * i
+
+    sampler = loader.ShardedBatchSampler(10, 2, shuffle=False,
+                                         drop_last=True)
+    dl = loader.DataLoader(Squares(), sampler, collate_fn=list,
+                           num_workers=3)
+    out = list(dl)
+    assert out == [[0, 1], [4, 9], [16, 25], [36, 49], [64, 81]]
+
+
+def test_meta_loader_ratio():
+    class FakeLoader:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def __iter__(self):
+            return iter([self.tag] * 5)
+
+    ml = loader.MetaLoader({"a": FakeLoader("a"), "b": FakeLoader("b")},
+                           ratios={"a": 3.0, "b": 1.0}, seed=0)
+    it = iter(ml)
+    tasks = [next(it)[0] for _ in range(400)]
+    frac_a = tasks.count("a") / len(tasks)
+    assert 0.65 < frac_a < 0.85
+
+
+def test_infinite_iterator_and_pad_batch():
+    class L:
+        def __init__(self):
+            self.sampler = loader.ShardedBatchSampler(4, 2, shuffle=False)
+
+        def __iter__(self):
+            return iter([1, 2])
+
+    it = iter(loader.InfiniteIterator(L()))
+    assert [next(it) for _ in range(5)] == [1, 2, 1, 2, 1]
+
+    batch = {"x": np.arange(6).reshape(3, 2), "y": ["a"]}
+    padded, n = loader.pad_batch(batch, 5, ["x"])
+    assert n == 3
+    assert padded["x"].shape == (5, 2)
+    assert (padded["x"][3] == padded["x"][2]).all()

@@ -1,0 +1,225 @@
+"""End-to-end task-runner tests: tiny model, synthetic media + annotations,
+debug-length training with validation, and retrieval/MC inference — the
+integration layer the reference only exercised manually via --debug runs
+(SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from clipbert_tpu.core.config import DatasetSpec, RunConfig
+from clipbert_tpu.data import store, tokenization, video
+
+
+TINY_MODEL_CFG = dict(
+    vocab_size=None,  # filled from tokenizer
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    intermediate_size=64, max_position_embeddings=64,
+    max_grid_row_position_embeddings=4, max_grid_col_position_embeddings=4,
+    hidden_dropout_prob=0.1, attention_probs_dropout_prob=0.1)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """Shared synthetic corpus: vocab, model config, image+video stores."""
+    root = tmp_path_factory.mktemp("ws")
+    vocab = root / "tokenizer" / "vocab.txt"
+    vocab.parent.mkdir()
+    tokenization.write_tiny_vocab(
+        str(vocab), extra_tokens=["cat", "dog", "bird", "runs", "jumps",
+                                  "sits", "a", "the", "what", "who"])
+    tok = tokenization.BertTokenizer(str(vocab))
+
+    mc = dict(TINY_MODEL_CFG)
+    mc["vocab_size"] = len(tok)
+    model_cfg_path = root / "model_config.json"
+    model_cfg_path.write_text(json.dumps(mc))
+
+    import io
+    from PIL import Image
+    img_store = root / "imgs.cbpk"
+    with store.PackWriter(str(img_store)) as w:
+        for i in range(12):
+            arr = np.full((40, 48, 3), (i * 19) % 255, np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            w.put(f"img{i}", buf.getvalue())
+
+    vid_store = root / "vids.cbpk"
+    with store.PackWriter(str(vid_store)) as w:
+        for i in range(12):
+            frames = np.zeros((16, 32, 32, 3), np.uint8)
+            frames[:, :, :, 0] = (i * 19) % 255
+            for t in range(16):
+                frames[t, :, :, 1] = t * 15
+            w.put(f"vid{i}", video.encode_jseq_from_array(frames, fps=8))
+
+    return {"root": root, "tokenizer_dir": str(vocab.parent),
+            "model_config": str(model_cfg_path),
+            "img_store": str(img_store), "vid_store": str(vid_store),
+            "tok": tok}
+
+
+def base_cfg(workspace, out_name, **kw) -> RunConfig:
+    out = str(workspace["root"] / out_name)
+    defaults = dict(
+        model_config=workspace["model_config"],
+        tokenizer_dir=workspace["tokenizer_dir"],
+        output_dir=out, debug=True, bf16=False, max_img_size=64,
+        max_txt_len=10, train_batch_size=8, val_batch_size=4,
+        num_train_epochs=5, n_workers=2, num_valid=1, min_valid_steps=100,
+        learning_rate=1e-4, cnn_learning_rate=1e-4, seed=7)
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+def write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_vqa_end_to_end(workspace):
+    from clipbert_tpu.tasks import run_vqa
+    root = workspace["root"]
+    ans2label = {"cat": 0, "dog": 1, "bird": 2}
+    a2l_path = root / "vqa_ans2label.json"
+    a2l_path.write_text(json.dumps(ans2label))
+    rows = [{"question_id": i, "txt": "what a cat", "img_id": f"img{i % 12}",
+             "labels": {"cat": 1.0}, "answer_type": "other"}
+            for i in range(16)]
+    ann = root / "vqa.jsonl"
+    write_jsonl(ann, rows)
+
+    cfg = base_cfg(workspace, "vqa_out",
+                   train_datasets=[DatasetSpec(name="vqa", txt=str(ann),
+                                               img=workspace["img_store"])],
+                   val_datasets=[DatasetSpec(name="vqa", txt=str(ann),
+                                             img=workspace["img_store"])],
+                   ans2label_path=str(a2l_path), loss_type="bce",
+                   max_n_example_per_group=2)
+    result = run_vqa.start_training(cfg)
+    assert result["global_step"] == 3  # debug truncation
+    assert result["history"], "validation ran"
+    val = result["history"][-1]["val"]
+    assert "overall_acc" in val and 0.0 <= val["overall_acc"] <= 1.0
+    # deployment ckpt + restore bundle written
+    out = cfg.output_dir
+    assert any(f.startswith("model_step") for f in os.listdir(out))
+    assert os.path.exists(os.path.join(out, "restore.npz"))
+    assert os.path.exists(os.path.join(out, "log", "args.json"))
+
+    # inference path replays stored args and loads the saved ckpt
+    infer_cfg = RunConfig(
+        model_config=workspace["model_config"],
+        tokenizer_dir=workspace["tokenizer_dir"], output_dir=out,
+        do_inference=True, inference_txt_db=str(ann),
+        inference_img_db=workspace["img_store"], inference_batch_size=4,
+        ans2label_path=str(a2l_path), bf16=False)
+    metrics = run_vqa.start_inference(infer_cfg)
+    assert "overall_acc" in metrics
+
+
+def test_video_qa_action_end_to_end(workspace):
+    from clipbert_tpu.tasks import run_video_qa
+    root = workspace["root"]
+    rows = [{"vid_id": f"vid{i % 12}", "question": "what runs",
+             "question_id": 100 + i, "answer": i % 5,
+             "options": ["a cat", "a dog", "a bird", "the cat", "the dog"]}
+            for i in range(8)]
+    ann = root / "tgif_action.jsonl"
+    write_jsonl(ann, rows)
+
+    cfg = base_cfg(workspace, "vqa_action_out",
+                   train_datasets=[DatasetSpec(name="action", txt=str(ann),
+                                               img=workspace["vid_store"])],
+                   val_datasets=[DatasetSpec(name="action", txt=str(ann),
+                                             img=workspace["vid_store"])],
+                   task="action", num_frm=1, fps=4, train_n_clips=2,
+                   inference_n_clips=2, score_agg_func="mean",
+                   train_batch_size=8)
+    result = run_video_qa.start_training(cfg)
+    assert result["global_step"] == 3
+    val = result["history"][-1]["val"]
+    assert "overall_acc" in val
+
+
+def test_video_retrieval_train_and_inference(workspace):
+    from clipbert_tpu.tasks import run_video_retrieval
+    root = workspace["root"]
+    rows = [{"vid_id": f"vid{i}", "txt": f"a cat runs {i}", "id": i}
+            for i in range(8)]
+    ann = root / "ret.jsonl"
+    write_jsonl(ann, rows)
+
+    cfg = base_cfg(workspace, "ret_out",
+                   train_datasets=[DatasetSpec(name="ret", txt=str(ann),
+                                               img=workspace["vid_store"])],
+                   val_datasets=[DatasetSpec(name="ret", txt=str(ann),
+                                             img=workspace["vid_store"])],
+                   loss_type="ce", score_agg_func="lse", train_n_clips=2,
+                   inference_n_clips=2, num_frm=1, fps=4, itm_neg_size=1,
+                   train_batch_size=8, inference_batch_size=4)
+    result = run_video_retrieval.start_training(cfg)
+    assert result["global_step"] == 3
+    val = result["history"][-1]["val"]
+    assert "t2v_r1" in val and "v2t_r1" in val
+    assert val["score_matrix"].shape == (8, 8)
+
+    # standalone inference entry
+    infer_cfg = RunConfig(
+        model_config=workspace["model_config"],
+        tokenizer_dir=workspace["tokenizer_dir"],
+        output_dir=cfg.output_dir, do_inference=True,
+        inference_txt_db=str(ann), inference_img_db=workspace["vid_store"],
+        inference_batch_size=4, inference_n_clips=1, bf16=False)
+    m = run_video_retrieval.start_inference(infer_cfg)
+    assert "t2v_r1" in m
+
+
+def test_msrvtt_mc_inference(workspace):
+    from clipbert_tpu.tasks import run_msrvtt_mc, run_video_retrieval
+    root = workspace["root"]
+    # need a trained retrieval output dir; reuse the one from the retrieval
+    # test if present, else train quickly
+    ret_out = root / "ret_out"
+    if not (ret_out / "log" / "args.json").exists():
+        pytest.skip("retrieval training output missing")
+    rows = [{"id": i, "vid_id": f"vid{i}", "answer": i % 5,
+             "options": [f"a cat {j}" for j in range(5)]}
+            for i in range(4)]
+    ann = root / "mc.jsonl"
+    write_jsonl(ann, rows)
+    cfg = RunConfig(
+        model_config=workspace["model_config"],
+        tokenizer_dir=workspace["tokenizer_dir"], output_dir=str(ret_out),
+        do_inference=True, inference_txt_db=str(ann),
+        inference_img_db=workspace["vid_store"], inference_batch_size=1,
+        inference_n_clips=1, bf16=False)
+    m = run_msrvtt_mc.start_inference(cfg)
+    assert "mc_accuracy" in m
+    assert len(m["preds"]) == 4
+
+
+def test_pretrain_end_to_end(workspace):
+    from clipbert_tpu.tasks import run_pretrain
+    root = workspace["root"]
+    rows = [{"img_id": f"img{i % 12}", "txt": f"a cat sits {i}"}
+            for i in range(16)]
+    ann = root / "cap.jsonl"
+    write_jsonl(ann, rows)
+
+    cfg = base_cfg(workspace, "pretrain_out",
+                   train_datasets=[
+                       DatasetSpec(name="coco", txt=str(ann),
+                                   img=workspace["img_store"], ratio=1.0)],
+                   val_datasets=[DatasetSpec(name="coco", txt=str(ann),
+                                             img=workspace["img_store"])],
+                   use_mlm=True, use_itm=True, itm_neg_prob=0.5,
+                   max_n_example_per_group=2, pixel_random_sampling_size=0)
+    result = run_pretrain.start_training(cfg)
+    assert result["global_step"] == 3
+    val = result["history"][-1]["val"]
+    assert "coco_mlm_acc" in val and "coco_itm_acc" in val

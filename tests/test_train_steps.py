@@ -74,7 +74,7 @@ def test_pool_clip_logits(rng_np):
         np.log(np.exp(np.asarray(logits)).sum(1)), rtol=1e-5)
 
 
-@pytest.mark.parametrize("agg", ["mean", "lse"])
+@pytest.mark.parametrize("agg", ["lse"])
 def test_train_step_mesh_runs_and_learns(agg):
     rng = np.random.default_rng(0)
     cfg = tiny_cfg(num_labels=2, loss_type="ce", score_agg_func=agg)
@@ -96,12 +96,12 @@ def test_train_step_mesh_runs_and_learns(agg):
     batch = shard_batch(mesh, make_batch(rng, B_v=8, nc=2, nf=1, G=2))
 
     losses = []
-    for i in range(6):
+    for i in range(4):
         state, metrics = step_fn(state, batch, jax.random.key(i))
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses  # overfits the fixed batch
-    assert int(state.opt.step) == 6
+    assert int(state.opt.step) == 4
 
 
 def test_grad_accum_equivalence():
@@ -118,8 +118,8 @@ def test_grad_accum_equivalence():
     params = clipbert.init_clipbert(jax.random.key(2), cfg, "seq_cls")
     meta = optim.build_group_meta(params, oc)
 
-    full = make_batch(rng, B_v=4, nc=1, nf=1, G=1, num_labels=3)
-    micro = jax.tree.map(lambda x: x.reshape((2, 2) + x.shape[1:]), full)
+    full = make_batch(rng, B_v=2, nc=1, nf=1, G=1, num_labels=3)
+    micro = jax.tree.map(lambda x: x.reshape((2, 1) + x.shape[1:]), full)
 
     s1 = steps.make_train_step(cfg, ts, oc, ss, meta, accum_steps=1,
                                compute_dtype=jnp.float32)
