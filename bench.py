@@ -59,16 +59,19 @@ def main():
     }
     batch = jax.device_put(batch)
 
-    # compile + warmup
+    # compile + warmup; a host-side scalar read is the sync barrier (the
+    # experimental remote-TPU platform's block_until_ready is unreliable)
     out = eval_step(params, batch)
-    jax.block_until_ready(out["logits"])
+    _ = float(np.asarray(out["logits"]).sum())
 
     iters = 10
     t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(iters):
         out = eval_step(params, batch)
-    jax.block_until_ready(out["logits"])
+        acc += float(np.asarray(out["logits"]).sum())  # device->host sync
     dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
 
     clips_per_sec = iters * BATCH_VIDEOS * NUM_CLIPS / dt
     print(json.dumps({

@@ -83,12 +83,27 @@ class ModelConfig:
 
 @dataclass
 class DatasetSpec:
-    """One dataset entry (reference task-config `train_datasets` items)."""
+    """One dataset entry (reference task-config `train_datasets` items).
+
+    ``txt`` may be a single jsonl path, a list of paths (merged, e.g. the
+    reference VQA config), or a {task: path} dict (e.g. the TGIF-QA config,
+    resolved by the runner's `task` flag).
+    """
 
     name: str = ""
-    txt: str = ""  # path to jsonl annotations
-    img: str = ""  # path to media store (dir / record store)
+    txt: Any = ""   # str | list[str] | {task: str}
+    img: str = ""   # path to media store (.cbpk / lmdb dir / file dir)
     ratio: float = 1.0  # MetaLoader sampling weight
+    vis_format: str = "image"  # image | video (pretrain datasets)
+
+    def txt_paths(self, task: str = "") -> List[str]:
+        if isinstance(self.txt, str):
+            return [self.txt]
+        if isinstance(self.txt, dict):
+            assert task in self.txt, (task, list(self.txt))
+            v = self.txt[task]
+            return [v] if isinstance(v, str) else list(v)
+        return list(self.txt)
 
     @classmethod
     def from_obj(cls, obj: Any) -> "DatasetSpec":

@@ -36,8 +36,12 @@ def make_task_settings(cfg: RunConfig) -> steps.TaskSettings:
         group_size=cfg.max_n_example_per_group)
 
 
-def build_groups(ann_path: str, cfg: RunConfig, is_train: bool):
-    raw = load_jsonl(ann_path)
+def build_groups(ann_paths, cfg: RunConfig, is_train: bool):
+    if isinstance(ann_paths, str):
+        ann_paths = [ann_paths]
+    raw = []
+    for p in ann_paths:
+        raw.extend(load_jsonl(p))
     key = "img_id" if raw and "img_id" in raw[0] else "vid_id"
     grouped = datasets.group_datalist_by_visual(raw, key)
     groups = transforms.mk_input_group(
@@ -48,9 +52,9 @@ def build_groups(ann_path: str, cfg: RunConfig, is_train: bool):
     return datasets.apply_data_ratio(groups, cfg.data_ratio, cfg.seed)
 
 
-def build_one_loader(spec, cfg: RunConfig, tokenizer, is_train: bool,
-                     vis_format: str = "image"):
-    groups = build_groups(spec.txt, cfg, is_train)
+def build_one_loader(spec, cfg: RunConfig, tokenizer, is_train: bool):
+    vis_format = getattr(spec, "vis_format", "image")
+    groups = build_groups(spec.txt_paths(), cfg, is_train)
     ds = PretrainDataset(
         groups, tokenizer, common.setup_store(spec.img), fps=cfg.fps,
         num_frm=cfg.num_frm, frm_sampling_strategy=cfg.frm_sampling_strategy,
@@ -123,8 +127,8 @@ def start_training(cfg: RunConfig):
     steps_per_epoch = 0
     for spec in cfg.train_datasets:
         dl, _ds = build_one_loader(spec, cfg, tokenizer, is_train=True)
-        train_loaders[spec.name or spec.txt] = dl
-        ratios[spec.name or spec.txt] = spec.ratio
+        train_loaders[spec.name or str(spec.txt)] = dl
+        ratios[spec.name or str(spec.txt)] = spec.ratio
         steps_per_epoch += len(dl)
     meta_loader = loader.MetaLoader(
         train_loaders, ratios=ratios,
@@ -141,7 +145,7 @@ def start_training(cfg: RunConfig):
         val_loaders = {}
         for vs in cfg.val_datasets:
             dl, _ds = build_one_loader(vs, cfg, tokenizer, is_train=False)
-            val_loaders[vs.name or vs.txt] = dl
+            val_loaders[vs.name or str(vs.txt)] = dl
         # eval groups are G=1 (one text per visual) -> dedicated eval step
         val_settings = steps.TaskSettings(
             head_type="pretrain", use_mlm=cfg.use_mlm, use_itm=cfg.use_itm,

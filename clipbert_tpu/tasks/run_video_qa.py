@@ -57,8 +57,12 @@ def make_task_settings(cfg: RunConfig, n_clips: int) -> steps.TaskSettings:
         group_size=G)
 
 
-def build_groups(cfg: RunConfig, ann_path: str, is_train: bool):
-    raw = load_jsonl(ann_path)
+def build_groups(cfg: RunConfig, ann_paths, is_train: bool):
+    if isinstance(ann_paths, str):
+        ann_paths = [ann_paths]
+    raw = []
+    for p in ann_paths:
+        raw.extend(load_jsonl(p))
     grouped = datasets.group_datalist_by_visual(raw, "vid_id")
     # one question per group keeps B_t = B_v * G static for MC and open-ended
     groups = transforms.mk_input_group(grouped, max_n_example_per_group=1,
@@ -110,7 +114,7 @@ def start_training(cfg: RunConfig):
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
     tspec = cfg.train_datasets[0]
-    train_ds = build_dataset(cfg, build_groups(cfg, tspec.txt, True),
+    train_ds = build_dataset(cfg, build_groups(cfg, tspec.txt_paths(cfg.task), True),
                              tokenizer, common.setup_store(tspec.img),
                              ans2label, True, cfg.train_n_clips)
     train_loader, steps_per_epoch = common.build_train_loader(
@@ -125,7 +129,7 @@ def start_training(cfg: RunConfig):
 
     if cfg.val_datasets:
         vspec = cfg.val_datasets[0]
-        val_ds = build_dataset(cfg, build_groups(cfg, vspec.txt, False),
+        val_ds = build_dataset(cfg, build_groups(cfg, vspec.txt_paths(cfg.task), False),
                                tokenizer, common.setup_store(vspec.img),
                                ans2label, False, cfg.inference_n_clips)
         val_loader = common.build_eval_loader(
@@ -152,7 +156,8 @@ def start_inference(cfg: RunConfig):
     head = "multi_choice" if cfg.task in MC_TASKS else "seq_cls"
     params, step = common.load_inference_params(cfg, model_cfg, head)
 
-    txt = cfg.inference_txt_db or cfg.val_datasets[0].txt
+    txt = (cfg.inference_txt_db
+           or cfg.val_datasets[0].txt_paths(cfg.task)[0])
     img = cfg.inference_img_db or cfg.val_datasets[0].img
     ds = build_dataset(cfg, build_groups(cfg, txt, False), tokenizer,
                        common.setup_store(img), ans2label, False,

@@ -47,8 +47,12 @@ def make_task_settings(cfg: RunConfig) -> steps.TaskSettings:
         group_size=1 + cfg.itm_neg_size, margin=cfg.margin)
 
 
-def build_train_datalist(cfg: RunConfig, ann_path: str):
-    raw = load_jsonl(ann_path)
+def build_train_datalist(cfg: RunConfig, ann_paths):
+    if isinstance(ann_paths, str):
+        ann_paths = [ann_paths]
+    raw = []
+    for p in ann_paths:
+        raw.extend(load_jsonl(p))
     for i, d in enumerate(raw):
         d.setdefault("id", i)
     grouped = datasets.group_datalist_by_visual(raw, "vid_id")
@@ -67,7 +71,7 @@ def start_training(cfg: RunConfig):
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
     tspec = cfg.train_datasets[0]
-    groups = build_train_datalist(cfg, tspec.txt)
+    groups = build_train_datalist(cfg, tspec.txt_paths())
     train_ds = VideoRetrievalTrainDataset(
         groups, tokenizer, common.setup_store(tspec.img), fps=cfg.fps,
         num_frm=cfg.num_frm, frm_sampling_strategy=cfg.frm_sampling_strategy,
@@ -85,7 +89,7 @@ def start_training(cfg: RunConfig):
 
     if cfg.val_datasets:
         vspec = cfg.val_datasets[0]
-        val_raw = load_jsonl(vspec.txt)
+        val_raw = load_jsonl(vspec.txt_paths()[0])
         for i, d in enumerate(val_raw):
             d["id"] = i
         val_ds = VideoRetrievalEvalDataset(
@@ -183,7 +187,7 @@ def start_inference(cfg: RunConfig):
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     params, step = common.load_inference_params(cfg, model_cfg, "retrieval")
 
-    txt = cfg.inference_txt_db or cfg.val_datasets[0].txt
+    txt = cfg.inference_txt_db or cfg.val_datasets[0].txt_paths()[0]
     img = cfg.inference_img_db or cfg.val_datasets[0].img
     raw = load_jsonl(txt)
     for i, d in enumerate(raw):

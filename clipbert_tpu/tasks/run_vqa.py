@@ -84,7 +84,7 @@ def start_training(cfg: RunConfig):
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
     tspec = cfg.train_datasets[0]
-    train_groups = build_datalist([tspec.txt], cfg.data_ratio, True,
+    train_groups = build_datalist(tspec.txt_paths(), cfg.data_ratio, True,
                                   cfg.max_n_example_per_group, cfg.seed)
     train_ds = VQADataset(train_groups, tokenizer,
                           common.setup_store(tspec.img),
@@ -95,7 +95,7 @@ def start_training(cfg: RunConfig):
         cfg, mesh)
 
     vspec = cfg.val_datasets[0]
-    val_groups = build_datalist([vspec.txt], cfg.data_ratio, False, 1,
+    val_groups = build_datalist(vspec.txt_paths(), cfg.data_ratio, False, 1,
                                 cfg.seed)
     val_ds = VQADataset(val_groups, tokenizer, common.setup_store(vspec.img),
                         ans2label=ans2label, max_img_size=cfg.max_img_size,
@@ -128,9 +128,10 @@ def start_inference(cfg: RunConfig):
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
 
     params, step = common.load_inference_params(cfg, model_cfg, "seq_cls")
-    txt = cfg.inference_txt_db or cfg.val_datasets[0].txt
+    txt = cfg.inference_txt_db or cfg.val_datasets[0].txt_paths()[0]
     img = cfg.inference_img_db or cfg.val_datasets[0].img
-    groups = build_datalist([txt], 1.0, False, 1, cfg.seed)
+    groups = build_datalist([txt] if isinstance(txt, str) else txt,
+                            1.0, False, 1, cfg.seed)
     ds = VQADataset(groups, tokenizer, common.setup_store(img),
                     ans2label=ans2label, max_img_size=cfg.max_img_size,
                     max_txt_len=cfg.max_txt_len)
