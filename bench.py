@@ -8,6 +8,11 @@ BERT-base forward (text len 20), bf16, one chip. Reported metric is
 clips/sec/chip; `vs_baseline` divides by an estimated V100 fp16 throughput
 for the same unit under the reference implementation (documented below).
 
+Methodology: the timing loop is a `lax.scan` INSIDE one jitted program —
+the remote-TPU platform defers unfetched executions and charges a host RTT
+per fetch, so chaining iterations on device and fetching a single scalar is
+the only honest clock.
+
 Prints ONE JSON line.
 """
 
@@ -20,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from clipbert_tpu.core.config import ModelConfig
+from clipbert_tpu.core.rng import RngGen
 from clipbert_tpu.models import clipbert
 from clipbert_tpu.train import steps
 
@@ -35,6 +41,7 @@ NUM_FRM = 2
 IMG = 448
 TXT_LEN = 20
 BATCH_VIDEOS = 2  # videos per step; clips fold into batch (32 clip-forwards)
+ITERS = 10
 
 
 def main():
@@ -45,12 +52,11 @@ def main():
     params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
     params = jax.device_put(params)
 
-    eval_step = steps.make_eval_step(cfg, ts)
-
     rng = np.random.default_rng(0)
     batch = {
         "text_input_ids": jnp.asarray(
-            rng.integers(0, cfg.vocab_size, (BATCH_VIDEOS, TXT_LEN)), jnp.int32),
+            rng.integers(0, cfg.vocab_size, (BATCH_VIDEOS, TXT_LEN)),
+            jnp.int32),
         "text_input_mask": jnp.ones((BATCH_VIDEOS, TXT_LEN), jnp.int32),
         "visual_inputs": jnp.asarray(
             rng.standard_normal(
@@ -59,21 +65,23 @@ def main():
     }
     batch = jax.device_put(batch)
 
-    # compile + warmup; a host-side scalar read is the sync barrier (the
-    # experimental remote-TPU platform's block_until_ready is unreliable)
-    out = eval_step(params, batch)
-    _ = float(np.asarray(out["logits"]).sum())
+    @jax.jit
+    def loop_fn(params, batch):
+        def body(carry, _):
+            logits = steps.mil_forward(params, cfg, ts, batch, RngGen(None),
+                                       False, jnp.bfloat16)
+            return carry + logits.astype(jnp.float32).sum(), None
 
-    iters = 10
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
+        return acc
+
+    acc = float(np.asarray(loop_fn(params, batch)))  # compile + warmup
     t0 = time.perf_counter()
-    acc = 0.0
-    for _ in range(iters):
-        out = eval_step(params, batch)
-        acc += float(np.asarray(out["logits"]).sum())  # device->host sync
+    acc = float(np.asarray(loop_fn(params, batch)))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
 
-    clips_per_sec = iters * BATCH_VIDEOS * NUM_CLIPS / dt
+    clips_per_sec = ITERS * BATCH_VIDEOS * NUM_CLIPS / dt
     print(json.dumps({
         "metric": "msrvtt_retrieval_16clip_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),

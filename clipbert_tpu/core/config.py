@@ -199,6 +199,7 @@ class RunConfig:
     seed: int = 42
     bf16: bool = True  # TPU-native replacement of the reference's fp16/amp O2
     n_workers: int = 4
+    profile_dir: Optional[str] = None  # jax.profiler trace output (steps 10-15)
 
     # task-specific (populated by per-task arg extenders; kept here so JSON
     # round-trips and restore-at-inference behave like the reference)

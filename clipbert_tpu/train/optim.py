@@ -40,6 +40,7 @@ class GroupMeta(NamedTuple):
 
 @dataclass(frozen=True)
 class OptimConfig:
+    optim: str = "adamw"  # adamw | adam | adamax (utils.py:118-127)
     learning_rate: float = 5e-5
     cnn_learning_rate: float = 5e-5
     weight_decay: float = 1e-3
@@ -157,13 +158,31 @@ def adamw_update(params: Dict, grads: Dict, state: AdamWState,
             return p, m, v
         g = g.astype(jnp.float32)
         pf = p.astype(jnp.float32)
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * jnp.square(g)
         lr = (lr_cnn if gm.use_cnn_lr else lr_transformer) * gm.lr_mul
-        update = m / (jnp.sqrt(v) + cfg.eps) * bias_corr
-        pf = pf - lr * update
-        if gm.weight_decay > 0:
-            pf = pf - lr * gm.weight_decay * pf
+        if cfg.optim == "adamw":
+            # decoupled weight decay (reference adamw.py:60-101)
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * jnp.square(g)
+            pf = pf - lr * (m / (jnp.sqrt(v) + cfg.eps) * bias_corr)
+            if gm.weight_decay > 0:
+                pf = pf - lr * gm.weight_decay * pf
+        elif cfg.optim == "adam":
+            # torch.optim.Adam: L2 reg folded into the gradient
+            if gm.weight_decay > 0:
+                g = g + gm.weight_decay * pf
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * jnp.square(g)
+            pf = pf - lr * (m / (jnp.sqrt(v) + cfg.eps) * bias_corr)
+        elif cfg.optim == "adamax":
+            # torch.optim.Adamax: infinity-norm second moment
+            if gm.weight_decay > 0:
+                g = g + gm.weight_decay * pf
+            m = b1 * m + (1.0 - b1) * g
+            v = jnp.maximum(b2 * v, jnp.abs(g))
+            t = step.astype(jnp.float32)
+            pf = pf - (lr / (1.0 - b1 ** t)) * (m / (v + cfg.eps))
+        else:
+            raise ValueError(f"unknown optim {cfg.optim}")
         return pf.astype(p.dtype), m, v
 
     out = jax.tree.map(upd, params, grads, state.mu, state.nu, meta,

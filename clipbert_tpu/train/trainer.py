@@ -56,6 +56,7 @@ class TaskSpec:
 
 def optim_config_from_run(cfg: RunConfig) -> optim.OptimConfig:
     return optim.OptimConfig(
+        optim=cfg.optim,
         learning_rate=cfg.learning_rate,
         cnn_learning_rate=cfg.cnn_learning_rate,
         weight_decay=cfg.weight_decay,
@@ -244,15 +245,23 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
                 f"({steps_per_epoch}/epoch), validating every {valid_steps}")
     t_start = time.time()
 
+    from clipbert_tpu.utils.profiling import StepTimer, TraceWindow
+    timer = StepTimer()
+    trace = TraceWindow(run_cfg.profile_dir if main else None)
+
     train_iter = iter(spec.train_loader)
     while global_step < num_train_steps:
         batch = next(train_iter)
+        trace.maybe_start(global_step)
+        timer.start()
         batch = _to_device_batch(batch, mesh, spec, compute_dtype)
         step_key = jax.random.fold_in(root_key, global_step)
         state, metrics = step_fn(state, batch, step_key)
         global_step += 1
 
-        loss = float(metrics["loss"])
+        loss = float(metrics["loss"])   # device sync point
+        timer.stop()
+        trace.maybe_stop(global_step)
         running(loss)
         tb.step()
         tb.log_scalar_dict({"train_loss": loss,
@@ -267,9 +276,12 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
 
         if global_step % valid_steps == 0 or global_step == num_train_steps:
             elapsed = time.time() - t_start
+            perf = timer.summary()
             LOGGER.info(f"step {global_step}/{num_train_steps} "
-                        f"loss {loss:.4f} ({elapsed:.1f}s)")
-            entry = {"step": global_step, "loss": loss}
+                        f"loss {loss:.4f} ({elapsed:.1f}s, "
+                        f"{perf.get('steps_per_sec', 0):.2f} steps/s)")
+            tb.log_scalar_dict(perf, "perf")
+            entry = {"step": global_step, "loss": loss, **perf}
             if spec.validate_fn is not None:
                 val_metrics = spec.validate_fn(state.params, eval_fn)
                 tb.log_scalar_dict(
@@ -281,6 +293,7 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
             if saver is not None:
                 saver.save(global_step, state.params)
 
+    trace.close()
     return {"params": state.params, "global_step": global_step,
             "history": history, "state": state}
 
