@@ -68,9 +68,15 @@ def main():
     @jax.jit
     def loop_fn(params, batch):
         def body(carry, _):
-            logits = steps.mil_forward(params, cfg, ts, batch, RngGen(None),
+            # perturb the pixels by carry*1e-30 so each iteration depends on
+            # the previous one — otherwise XLA hoists the loop-invariant
+            # body out of the scan and the clock measures a single forward
+            b = dict(batch)
+            b["visual_inputs"] = (batch["visual_inputs"]
+                                  + (carry * 1e-30).astype(jnp.bfloat16))
+            logits = steps.mil_forward(params, cfg, ts, b, RngGen(None),
                                        False, jnp.bfloat16)
-            return carry + logits.astype(jnp.float32).sum(), None
+            return logits.astype(jnp.float32).sum(), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return acc

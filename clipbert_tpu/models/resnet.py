@@ -108,7 +108,10 @@ def init_grid_encoder(key, hidden_size: int, in_channels: int = 2048) -> Params:
 # ---------------------------------------------------------------------------
 
 def bottleneck(x: jnp.ndarray, p: Params, stride: int,
-               stride_in_1x1: bool = True, dilation: int = 1) -> jnp.ndarray:
+               stride_in_1x1: bool = True, dilation: int = 1,
+               use_pallas: bool = False) -> jnp.ndarray:
+    if use_pallas:
+        return bottleneck_pallas(x, p, stride, stride_in_1x1, dilation)
     # torch-style symmetric padding must be explicit: XLA "SAME" pads (0, 1)
     # for strided 3x3 convs while torch pads (1, 1), shifting the grid.
     s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
@@ -128,21 +131,88 @@ def bottleneck(x: jnp.ndarray, p: Params, stride: int,
     return jax.nn.relu(out + sc)
 
 
+def bottleneck_pallas(x: jnp.ndarray, p: Params, stride: int,
+                      stride_in_1x1: bool = True,
+                      dilation: int = 1) -> jnp.ndarray:
+    """Bottleneck with the 1x1 convs (2/3 of the FLOPs) as fused Pallas
+    matmul+BN+ReLU(+residual) kernels; the 3x3 stays on XLA's conv emitter.
+    Numerically identical to :func:`bottleneck` (same fp32 epilogue)."""
+    from clipbert_tpu.ops.pallas_kernels import conv1x1_bn_act
+    s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
+    pad3 = [(dilation, dilation), (dilation, dilation)]
+    out = conv1x1_bn_act(x, p["conv1"]["kernel"], p["conv1"]["bn"]["scale"],
+                         p["conv1"]["bn"]["bias"], stride=s1, relu=True)
+    out = jax.nn.relu(frozen_bn(
+        conv2d(out, p["conv2"]["kernel"], s2, padding=pad3, dilation=dilation),
+        p["conv2"]["bn"]))
+    if "shortcut" in p:
+        sc = conv1x1_bn_act(x, p["shortcut"]["kernel"],
+                            p["shortcut"]["bn"]["scale"],
+                            p["shortcut"]["bn"]["bias"], stride=stride,
+                            relu=False)
+    else:
+        sc = x
+    # final 1x1 with the residual add + relu fused into the epilogue
+    return conv1x1_bn_act(out, p["conv3"]["kernel"], p["conv3"]["bn"]["scale"],
+                          p["conv3"]["bn"]["bias"], stride=1, residual=sc,
+                          relu=True)
+
+
 def max_pool(x: jnp.ndarray, window: int, stride: int, padding) -> jnp.ndarray:
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         (1, window, window, 1), (1, stride, stride, 1), padding)
 
 
+# ---------------------------------------------------------------------------
+# space-to-depth stem
+# ---------------------------------------------------------------------------
+# Optional stem form. Measured on TPU v5e, XLA's native handling of the
+# 7x7/s2 C=3 stem (6.1 ms @ B64 448^2) slightly beats this explicit
+# space-to-depth form (7.4 ms) — XLA evidently does its own input-channel
+# packing — so the default stays off; kept as a tested option for other
+# TPU generations. The transform is mathematically identical:
+#   y[o,k] = sum_{u,v,c} w[u,v,c,k] x[2o+u-3, ...]   (7x7, stride 2, pad 3)
+# with u = 2a + dy - 1 (a in 0..3, dy in 0..1) becomes a 4x4 conv with
+# padding (2,1) over X_s2d[i,j,(dy*2+dx)*3+c] = x[2i+dy, 2j+dx, c].
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (dy, dx, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def stem_s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(7, 7, C, K) stem kernel -> (4, 4, 4C, K) space-to-depth kernel."""
+    kh, kw, C, K = kernel.shape
+    assert kh == 7 and kw == 7
+    k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # zero tap at -4
+    k8 = k8.reshape(4, 2, 4, 2, C, K)
+    k8 = k8.transpose(0, 2, 1, 3, 4, 5)  # (4, 4, dy, dx, C, K)
+    return k8.reshape(4, 4, 4 * C, K)
+
+
 def resnet50_forward(p: Params, x: jnp.ndarray,
-                     stride_in_1x1: bool = True) -> jnp.ndarray:
+                     stride_in_1x1: bool = True,
+                     stem_s2d: bool = False,
+                     use_pallas: bool = False) -> jnp.ndarray:
     """(B, H, W, 3) preprocessed pixels -> (B, H/32, W/32, 2048) res5 features.
 
     Equivalent of the reference's `backbone(x)` +
     `roi_heads.get_conv5_features` pipeline (grid_feat.py:95-97) with
-    RES5_DILATION=1, i.e. a plain strided res5.
+    RES5_DILATION=1, i.e. a plain strided res5. ``stem_s2d`` switches the
+    stem to the mathematically-identical space-to-depth form (even input
+    sizes only); params are shared between both paths.
     """
-    h = conv2d(x, p["stem"]["conv"]["kernel"], stride=2, padding=[(3, 3), (3, 3)])
+    if stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        h = conv2d(space_to_depth(x),
+                   stem_s2d_kernel(p["stem"]["conv"]["kernel"]),
+                   stride=1, padding=[(2, 1), (2, 1)])
+    else:
+        h = conv2d(x, p["stem"]["conv"]["kernel"], stride=2,
+                   padding=[(3, 3), (3, 3)])
     h = jax.nn.relu(frozen_bn(h, p["stem"]["bn"]))
     h = max_pool(h, 3, 2, [(0, 0), (1, 1), (1, 1), (0, 0)])
     for si in range(4):
@@ -150,7 +220,8 @@ def resnet50_forward(p: Params, x: jnp.ndarray,
         stage_stride = 1 if si == 0 else 2
         for bi, bp in enumerate(blocks):
             h = bottleneck(h, bp, stage_stride if bi == 0 else 1,
-                           stride_in_1x1=stride_in_1x1)
+                           stride_in_1x1=stride_in_1x1,
+                           use_pallas=use_pallas)
     return h
 
 

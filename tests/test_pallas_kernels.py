@@ -1,0 +1,48 @@
+"""Pallas fused matmul+BN+act kernel parity (interpret mode on the CPU
+test mesh; the same kernel compiles natively on TPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clipbert_tpu.models import resnet
+from clipbert_tpu.ops.pallas_kernels import conv1x1_bn_act, matmul_bn_act
+
+
+def test_matmul_bn_act_matches_reference_math(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((100, 64)), jnp.float32)
+    w = jnp.asarray(rng_np.standard_normal((64, 96)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng_np.standard_normal(96), jnp.float32)
+    b = jnp.asarray(rng_np.standard_normal(96), jnp.float32)
+    r = jnp.asarray(rng_np.standard_normal((100, 96)), jnp.float32)
+
+    want = np.maximum((np.asarray(x) @ np.asarray(w)) * np.asarray(s)
+                      + np.asarray(b) + np.asarray(r), 0)
+    got = matmul_bn_act(x, w, s, b, residual=r, relu=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+    # no-relu / no-residual path
+    want2 = (np.asarray(x) @ np.asarray(w)) * np.asarray(s) + np.asarray(b)
+    got2 = matmul_bn_act(x, w, s, b, relu=False)
+    np.testing.assert_allclose(np.asarray(got2), want2, rtol=2e-5, atol=2e-5)
+
+
+def test_conv1x1_strided(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((2, 8, 8, 16)), jnp.float32)
+    k = jnp.asarray(rng_np.standard_normal((1, 1, 16, 32)) * 0.1, jnp.float32)
+    s = jnp.ones(32, jnp.float32)
+    b = jnp.zeros(32, jnp.float32)
+    got = conv1x1_bn_act(x, k, s, b, stride=2, relu=False)
+    want = resnet.conv2d(x, k, stride=2, padding="VALID")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_resnet_matches_xla(rng_np):
+    p = resnet.init_resnet50(jax.random.key(0))
+    x = jnp.asarray(rng_np.standard_normal((1, 64, 64, 3)), jnp.float32)
+    a = resnet.resnet50_forward(p, x, use_pallas=False)
+    b = resnet.resnet50_forward(p, x, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-3, atol=1e-3)

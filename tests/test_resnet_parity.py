@@ -160,3 +160,29 @@ def test_grid_feat_shapes():
     frames = jnp.zeros((2, 3, 128, 128, 3), jnp.float32)
     grid = jres.grid_feat_forward(params, frames)
     assert grid.shape == (2, 3, 2, 2, 64)  # 128/32/2 = 2
+
+
+def test_space_to_depth_stem_exact(rng_np):
+    """s2d stem path is mathematically identical to the 7x7/s2 stem."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.models import resnet
+    k = jnp.asarray(rng_np.standard_normal((7, 7, 3, 64)) * 0.05, jnp.float32)
+    x = jnp.asarray(rng_np.standard_normal((2, 64, 48, 3)), jnp.float32)
+    ref = resnet.conv2d(x, k, stride=2, padding=[(3, 3), (3, 3)])
+    got = resnet.conv2d(resnet.space_to_depth(x), resnet.stem_s2d_kernel(k),
+                        stride=1, padding=[(2, 1), (2, 1)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resnet_forward_s2d_matches_plain(rng_np):
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.models import resnet
+    p = resnet.init_resnet50(jax.random.key(3))
+    x = jnp.asarray(rng_np.standard_normal((1, 64, 64, 3)), jnp.float32)
+    a = resnet.resnet50_forward(p, x, stem_s2d=False)
+    b = resnet.resnet50_forward(p, x, stem_s2d=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-4, atol=1e-4)
