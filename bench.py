@@ -40,7 +40,7 @@ NUM_CLIPS = 16
 NUM_FRM = 2
 IMG = 448
 TXT_LEN = 20
-BATCH_VIDEOS = 2  # videos per step; clips fold into batch (32 clip-forwards)
+BATCH_VIDEOS = 4  # videos per step; clips fold into batch (64 clip-forwards)
 ITERS = 10
 
 

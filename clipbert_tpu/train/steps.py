@@ -284,7 +284,8 @@ def make_train_step(cfg: ModelConfig, ts: TaskSettings, oc: OptimConfig,
                     ss: ScheduleSettings, meta,
                     mesh: Optional[Mesh] = None,
                     accum_steps: int = 1,
-                    compute_dtype=jnp.bfloat16) -> Callable:
+                    compute_dtype=jnp.bfloat16,
+                    state_shardings=None) -> Callable:
     """Build the jitted train step.
 
     step(state, batch, key) -> (state, metrics). With accum_steps > 1 every
@@ -334,10 +335,11 @@ def make_train_step(cfg: ModelConfig, ts: TaskSettings, oc: OptimConfig,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, "data") if accum_steps > 1
                          else P("data"))
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,))
 
 
