@@ -124,7 +124,12 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
     caps = eval_ds.encode_all_captions()
     n_caps = caps["text_input_ids"].shape[0]
     bsz = cfg.inference_batch_size
-    # pad caption minibatches to one fixed shape (single compile)
+    # round the minibatch up so it splits across the mesh data axis, and pad
+    # every minibatch to one fixed shape (single compile, all chips busy)
+    n_data = mesh.shape["data"]
+    bsz = ((bsz + n_data - 1) // n_data) * n_data
+    from clipbert_tpu.core.mesh import data_shard
+    sharding = data_shard(mesh)
     cap_batches = []
     for s in range(0, n_caps, bsz):
         ids = caps["text_input_ids"][s:s + bsz]
@@ -134,7 +139,8 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
             pad = bsz - n_valid
             ids = np.concatenate([ids, np.repeat(ids[-1:], pad, 0)])
             mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
-        cap_batches.append((jnp.asarray(ids), jnp.asarray(mask), n_valid))
+        cap_batches.append((jax.device_put(ids, sharding),
+                            jax.device_put(mask, sharding), n_valid))
 
     nf = eval_ds.num_frm
     my_videos = range(dist.process_index(), len(eval_ds),

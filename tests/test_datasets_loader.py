@@ -224,3 +224,40 @@ def test_infinite_iterator_and_pad_batch():
     assert n == 3
     assert padded["x"].shape == (5, 2)
     assert (padded["x"][3] == padded["x"][2]).all()
+
+
+def test_ingest_cli(tmp_path):
+    """Image ingest: dir -> CBPK store with JPEG re-encode (file2lmdb flow)."""
+    import io
+    from PIL import Image
+    from clipbert_tpu.data import ingest, store
+    src = tmp_path / "raw"
+    src.mkdir()
+    for i in range(3):
+        Image.fromarray(np.full((10, 10, 3), i * 50, np.uint8)).save(
+            src / f"im{i}.png")
+    out = str(tmp_path / "imgs.cbpk")
+    n, errors = ingest.ingest(str(src), out, "image", num_workers=2)
+    assert n == 3 and not errors
+    s = store.open_store(out)
+    blob = s.get("im1")
+    img = Image.open(io.BytesIO(bytes(blob)))
+    assert img.format == "JPEG" and img.size == (10, 10)
+
+
+def test_ingest_video_jseq(tmp_path):
+    """Video ingest with JSEQ transcode round-trips through decode_clip."""
+    from clipbert_tpu.data import ingest, store, video
+    src = tmp_path / "vids"
+    src.mkdir()
+    frames = np.full((10, 16, 16, 3), 99, np.uint8)
+    (src / "v0.gif").write_bytes(b"")  # undecodable -> error log
+    blob = video.encode_jseq_from_array(frames, fps=5)
+    (src / "v1.mp4").write_bytes(blob)  # already JSEQ bytes: pass-through
+    out = str(tmp_path / "vids.cbpk")
+    n, errors = ingest.ingest(str(src), out, "video", to_jseq=True,
+                              num_workers=1)
+    assert n >= 1
+    s = store.open_store(out)
+    clip = video.decode_clip(bytes(s.get("v1")), 2, 5, "uniform")
+    assert clip.shape == (2, 16, 16, 3)
