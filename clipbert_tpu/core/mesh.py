@@ -21,6 +21,21 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host (pod slice) runtime init.
+
+    Replaces the reference's `hvd.init()` + MPI launch (run_pretrain.py:484,
+    docker OpenMPI stack). On Cloud TPU the arguments auto-detect; elsewhere
+    pass coordinator/num_processes/process_id explicitly. Safe to skip on a
+    single host.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               model_parallel: int = 1) -> Mesh:
     """Build a (data, model) mesh over the given devices.

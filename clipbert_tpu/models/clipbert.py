@@ -113,7 +113,8 @@ def base_forward(p: Params, cfg: ModelConfig,
                  visual_tokens_grid: jnp.ndarray,   # (B, T, H, W, D) grid feats
                  compute_dtype=jnp.bfloat16,
                  rngs: Optional[RngGen] = None,
-                 train: bool = False):
+                 train: bool = False,
+                 remat: bool = False):
     """ClipBertBaseModel.forward (modeling.py:201-238): returns
     (sequence_output (B, Lt+Lv, D), pooled (B, D))."""
     rngs = rngs or RngGen(None)
@@ -133,7 +134,8 @@ def base_forward(p: Params, cfg: ModelConfig,
     hidden = jnp.concatenate([text_emb, vis_emb], axis=1)
     bias = bert.extended_attention_mask(full_mask)
     hidden = bert.encoder(p["encoder"], hidden, bias, cfg,
-                          dropout_key=rngs("enc_dropout") if train else None)
+                          dropout_key=rngs("enc_dropout") if train else None,
+                          remat=remat)
     pooled = bert.pooler(p["pooler"], hidden)
     return hidden, pooled
 
@@ -174,6 +176,7 @@ def clipbert_forward(
     stride_in_1x1: bool = True,
     visual_features: Optional[jnp.ndarray] = None,
     group_size: int = 1,
+    remat: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """The per-clip unit of work (SURVEY.md §3.4).
 
@@ -193,7 +196,7 @@ def clipbert_forward(
     tp = params["transformer"]
     hidden, pooled = base_forward(
         tp["bert"], cfg, batch["text_input_ids"], batch["text_input_mask"],
-        visual_features, compute_dtype, rngs, train)
+        visual_features, compute_dtype, rngs, train, remat=remat)
 
     out: Dict[str, jnp.ndarray] = {}
     if head_type == "pretrain":

@@ -147,7 +147,7 @@ def mil_forward(params: Params, cfg: ModelConfig, ts: TaskSettings,
     out = clipbert.clipbert_forward(
         params, cfg, {"text_input_ids": ids, "text_input_mask": mask},
         ts.head_type, train=train, rngs=rngs, compute_dtype=compute_dtype,
-        visual_features=feats, group_size=1)
+        visual_features=feats, group_size=1, remat=ts.remat and train)
     logits = out["logits"]  # (nc*B_t, L_head)
 
     if ts.head_type == "multi_choice":
@@ -237,7 +237,8 @@ def pretrain_loss(cfg: ModelConfig, ts: TaskSettings,
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     out = clipbert.clipbert_forward(
         params, cfg, batch, "pretrain", train=train, rngs=rngs,
-        compute_dtype=compute_dtype, group_size=ts.group_size)
+        compute_dtype=compute_dtype, group_size=ts.group_size,
+        remat=ts.remat and train)
     losses = clipbert.pretrain_losses(
         cfg, out,
         batch.get("mlm_labels") if ts.use_mlm else None,

@@ -230,3 +230,21 @@ def test_retrieval_eval_feature_cache_consistency():
                              jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_remat_equivalence():
+    """remat=True changes memory, not numerics."""
+    rng = np.random.default_rng(7)
+    cfg = tiny_cfg(num_labels=2, loss_type="ce")
+    batch = make_batch(rng, B_v=2, nc=1, nf=1, G=1)
+    params = clipbert.init_clipbert(jax.random.key(0), cfg, "seq_cls")
+    outs = []
+    for remat in (False, True):
+        ts = steps.TaskSettings(head_type="seq_cls", num_labels=2,
+                                loss_type="ce", train_n_clips=1,
+                                group_size=1, remat=remat)
+        loss, _ = steps.compute_loss(params, cfg, ts, batch,
+                                     jax.random.key(1), train=True,
+                                     compute_dtype=jnp.float32)
+        outs.append(float(loss))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
