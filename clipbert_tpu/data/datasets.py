@@ -61,8 +61,20 @@ class BaseDataset:
         self.frm_sampling_strategy = frm_sampling_strategy
         self.max_img_size = max_img_size
         self.max_txt_len = max_txt_len
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # __getitem__ runs concurrently in DataLoader worker threads and
+        # numpy Generators are NOT thread-safe: every item gets its own
+        # generator spawned from (seed, index, call#). The GIL makes the
+        # counter increment atomic.
+        import itertools
+        self._calls = itertools.count()
+        self.rng = np.random.default_rng(seed)  # init-time / single-thread use
         self.pyrng = random.Random(seed)
+
+    def item_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence(entropy=self.seed,
+                                   spawn_key=(index, next(self._calls))))
 
     def __len__(self):
         return len(self.datalist)
@@ -83,19 +95,20 @@ class BaseDataset:
         arr = transforms.resize_frames(arr, self.max_img_size)
         return transforms.pad_frames(arr, self.max_img_size, self.max_img_size)
 
-    def _decode(self, vid_id, num_clips=None, clip_idx=None):
+    def _decode(self, vid_id, num_clips=None, clip_idx=None, rng=None):
         raw = self.store.get(str(vid_id))
         if raw is None:
             return None
         return video.decode_clip(
             bytes(raw), num_frames=self.num_frm, target_fps=self.fps,
             sampling_strategy=self.frm_sampling_strategy,
-            num_clips=num_clips, clip_idx=clip_idx, rng=self.rng)
+            num_clips=num_clips, clip_idx=clip_idx,
+            rng=rng if rng is not None else self.rng)
 
-    def load_video(self, vid_id, num_clips=None, clip_idx=None
+    def load_video(self, vid_id, num_clips=None, clip_idx=None, rng=None
                    ) -> Optional[np.ndarray]:
         """One clip: (num_frm, S, S, 3) uint8, or None (dataset_base.py:234-273)."""
-        frames = self._decode(vid_id, num_clips, clip_idx)
+        frames = self._decode(vid_id, num_clips, clip_idx, rng=rng)
         if frames is None:
             return None
         if transforms.is_extreme_aspect_ratio(frames.shape[1], frames.shape[2]):
@@ -106,16 +119,17 @@ class BaseDataset:
 
     def load_video_multi_clips(self, vid_id, n_clips: int,
                                random_clips: bool,
-                               prev_clip_fallback: bool = False
-                               ) -> Optional[np.ndarray]:
+                               prev_clip_fallback: bool = False,
+                               rng=None) -> Optional[np.ndarray]:
         """(n_clips*num_frm, S, S, 3) ensemble (dataset_video_retrieval.py:
         40-56; prev-clip fallback from dataset_video_qa.py:49-81)."""
         clips, prev = [], None
         for i in range(n_clips):
             if random_clips:
-                c = self.load_video(vid_id)
+                c = self.load_video(vid_id, rng=rng)
             else:
-                c = self.load_video(vid_id, num_clips=n_clips, clip_idx=i)
+                c = self.load_video(vid_id, num_clips=n_clips, clip_idx=i,
+                                    rng=rng)
             if c is None and prev_clip_fallback:
                 c = prev
             if c is None:
@@ -124,11 +138,12 @@ class BaseDataset:
             clips.append(c)
         return np.concatenate(clips, axis=0)
 
-    def _retry_indices(self, index: int, n: int = 3):
+    def _retry_indices(self, index: int, n: int = 3, rng=None):
         """index then random resamples (dataset_pretrain.py:46-59)."""
+        rng = rng if rng is not None else self.rng
         yield index
         for _ in range(n - 1):
-            yield int(self.rng.integers(0, len(self)))
+            yield int(rng.integers(0, len(self)))
 
 
 # ---------------------------------------------------------------------------
@@ -147,32 +162,34 @@ class PretrainDataset(BaseDataset):
         self.vis_format = vis_format
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
-        for idx in self._retry_indices(index):
+        rng = self.item_rng(index)
+        for idx in self._retry_indices(index, rng=rng):
             vis_id, examples = self.datalist[idx]
             if self.vis_format == "image":
                 arr = self.load_image(vis_id)
             else:
-                arr = self.load_video(vis_id)
+                arr = self.load_video(vis_id, rng=rng)
             if arr is not None:
                 break
         else:
             raise RuntimeError(f"failed to load visual for index {index}")
-        out_examples = [self._get_single_example(e, idx) for e in examples]
+        out_examples = [self._get_single_example(e, idx, rng)
+                        for e in examples]
         return {"vis": arr, "examples": out_examples}
 
-    def _get_single_example(self, data, index):
-        if self.use_itm and self.rng.random() < self.itm_neg_prob:
-            return {"text_str": self._random_negative_caption(index),
+    def _get_single_example(self, data, index, rng):
+        if self.use_itm and rng.random() < self.itm_neg_prob:
+            return {"text_str": self._random_negative_caption(index, rng),
                     "itm_label": 0}
         return {"text_str": data["txt"], "itm_label": 1}
 
-    def _random_negative_caption(self, gt_index: int) -> str:
+    def _random_negative_caption(self, gt_index: int, rng) -> str:
         gt_id, _ = self.datalist[gt_index]
         for _ in range(5):
-            neg_index = int(self.rng.integers(0, len(self)))
+            neg_index = int(rng.integers(0, len(self)))
             neg_id, neg_examples = self.datalist[neg_index]
             if neg_id != gt_id:
-                pick = int(self.rng.integers(0, len(neg_examples)))
+                pick = int(rng.integers(0, len(neg_examples)))
                 return neg_examples[pick]["txt"]
         raise RuntimeError("negative sampler failed within 5 trials")
 
@@ -186,7 +203,9 @@ class PretrainCollator:
         self.mlm_probability = mlm_probability
         self.max_length = max_length
         self.is_train = is_train
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        import itertools
+        self._calls = itertools.count()  # GIL-atomic; collate runs in threads
 
     def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
         visual = np.stack([d["vis"] for d in batch])  # (B_v, T, S, S, 3)
@@ -196,9 +215,13 @@ class PretrainCollator:
         ids = enc["input_ids"]
         mlm_labels = None
         if self.mlm:
+            # per-call generator: numpy Generators are not thread-safe
+            rng = np.random.default_rng(
+                np.random.SeedSequence(entropy=self.seed,
+                                       spawn_key=(next(self._calls),)))
             ids, mlm_labels = transforms.mask_text_tokens(
                 ids, enc["special_tokens_mask"],
-                self.tokenizer.mask_token_id, len(self.tokenizer), self.rng,
+                self.tokenizer.mask_token_id, len(self.tokenizer), rng,
                 self.mlm_probability, self.tokenizer.pad_token_id)
         out = {
             "visual_inputs": visual,
@@ -227,10 +250,12 @@ class VideoRetrievalTrainDataset(BaseDataset):
         self.random_sample_clips = random_sample_clips
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
-        for idx in self._retry_indices(index):
+        rng = self.item_rng(index)
+        for idx in self._retry_indices(index, rng=rng):
             vid_id, examples = self.datalist[idx]
             arr = self.load_video_multi_clips(
-                vid_id, self.ensemble_n_clips, self.random_sample_clips)
+                vid_id, self.ensemble_n_clips, self.random_sample_clips,
+                rng=rng)
             if arr is not None:
                 break
         else:
@@ -239,17 +264,17 @@ class VideoRetrievalTrainDataset(BaseDataset):
         for e in examples:
             sampled.append({"text_str": e["txt"], "itm_label": 1})
             for _ in range(self.itm_neg_size):
-                sampled.append({"text_str": self._random_negative(idx),
+                sampled.append({"text_str": self._random_negative(idx, rng),
                                 "itm_label": 0})
         return {"vis": arr, "examples": sampled}
 
-    def _random_negative(self, gt_index: int) -> str:
+    def _random_negative(self, gt_index: int, rng) -> str:
         gt_id, _ = self.datalist[gt_index]
         neg_id = gt_id
         while neg_id == gt_id:
-            neg_index = int(self.rng.integers(0, len(self)))
+            neg_index = int(rng.integers(0, len(self)))
             neg_id, neg_examples = self.datalist[neg_index]
-        pick = int(self.rng.integers(0, len(neg_examples)))
+        pick = int(rng.integers(0, len(neg_examples)))
         return neg_examples[pick]["txt"]
 
 
@@ -392,13 +417,15 @@ class VideoQADataset(BaseDataset):
                          for _, group in datalist for d in group}
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
-        for idx in self._retry_indices(index):
+        rng = self.item_rng(index)
+        for idx in self._retry_indices(index, rng=rng):
             vid_id, examples = self.datalist[idx]
             arr = self.load_video_multi_clips(
                 vid_id, self.ensemble_n_clips,
                 random_clips=self.is_train and self.random_sample_clips,
                 prev_clip_fallback=not (self.is_train
-                                        and self.random_sample_clips))
+                                        and self.random_sample_clips),
+                rng=rng)
             if arr is not None:
                 break
         else:
