@@ -119,27 +119,31 @@ class DataLoader:
 class PrefetchLoader:
     """Wraps a loader: moves batches to device (sharded) one step ahead so
     host->device transfer overlaps compute (the reference's side-stream
-    prefetch, dataloader.py:86-152)."""
+    prefetch, dataloader.py:86-152). Yields dicts whose array values are
+    device arrays (non-array metadata passes through untouched)."""
 
-    def __init__(self, loader, mesh=None, keep_keys: Optional[set] = None):
+    def __init__(self, loader, mesh=None):
         self.loader = loader
         self.mesh = mesh
-        self.keep_keys = keep_keys
 
-    def _put(self, batch: Dict):
+    @property
+    def sampler(self):
+        return getattr(self.loader, "sampler", None)
+
+    def _put(self, batch: Dict) -> Dict:
         import jax
         from clipbert_tpu.core.mesh import data_shard
-        device_batch = {}
-        host_extras = {}
+        out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object:
-                if self.mesh is not None:
-                    device_batch[k] = jax.device_put(v, data_shard(self.mesh))
+                if (self.mesh is not None
+                        and v.shape[0] % self.mesh.shape["data"] == 0):
+                    out[k] = jax.device_put(v, data_shard(self.mesh))
                 else:
-                    device_batch[k] = jax.device_put(v)
+                    out[k] = jax.device_put(v)
             else:
-                host_extras[k] = v
-        return device_batch, host_extras
+                out[k] = v
+        return out
 
     def __len__(self):
         return len(self.loader)

@@ -34,14 +34,16 @@ def load_model_config(cfg: RunConfig, **overrides) -> ModelConfig:
 
 
 def build_train_loader(dataset, collate_fn, cfg: RunConfig,
-                       mesh=None) -> loader.PrefetchLoader:
+                       mesh=None):
     sampler = loader.ShardedBatchSampler(
         len(dataset), cfg.train_batch_size, shuffle=True, seed=cfg.seed,
         process_index=dist.process_index(),
         process_count=dist.process_count(), drop_last=True)
     dl = loader.DataLoader(dataset, sampler, collate_fn,
                            num_workers=cfg.n_workers)
-    return loader.InfiniteIterator(dl), len(sampler)
+    # device transfer one batch ahead, overlapping the previous step
+    pf = loader.PrefetchLoader(dl, mesh=mesh)
+    return loader.InfiniteIterator(pf), len(sampler)
 
 
 def build_eval_loader(dataset, collate_fn, cfg: RunConfig, batch_size=None):
