@@ -196,8 +196,12 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
         num_train_steps = min(num_train_steps, max_steps)
     if run_cfg.debug:
         num_train_steps = min(num_train_steps, 3)   # config.py:45-48
-    valid_steps = max(int(num_train_steps / max(run_cfg.num_valid, 1)),
-                      run_cfg.min_valid_steps if not run_cfg.debug else 1)
+    # validate every ceil(steps/num_valid/min_valid)*min_valid steps — the
+    # reference's rounding (run_vqa.py:302-304); debug validates every step
+    min_valid = 1 if run_cfg.debug else max(run_cfg.min_valid_steps, 1)
+    valid_steps = int(math.ceil(
+        num_train_steps / max(run_cfg.num_valid, 1) / min_valid)) * min_valid
+    valid_steps = max(valid_steps, 1)
 
     oc = optim_config_from_run(run_cfg)
     ss = schedule_from_run(run_cfg, num_train_steps, steps_per_epoch)
@@ -249,27 +253,50 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
     timer = StepTimer()
     trace = TraceWindow(run_cfg.profile_dir if main else None)
 
+    last_loss = float("nan")
+
+    def consume(pending):
+        """Fetch a finished step's metrics (delayed one step so the host
+        never blocks the device pipeline on a per-step round-trip)."""
+        nonlocal last_loss
+        gs, metrics = pending
+        last_loss = float(metrics["loss"])   # device sync point
+        timer.stop()
+        running(last_loss)
+        tb.step()
+        tb.log_scalar_dict({"train_loss": last_loss,
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "lr": float(metrics["lr"]),
+                            "cnn_lr": float(metrics["cnn_lr"])}, "train")
+
+    pending = None
     train_iter = iter(spec.train_loader)
     while global_step < num_train_steps:
         batch = next(train_iter)
         trace.maybe_start(global_step)
-        timer.start()
         batch = _to_device_batch(batch, mesh, spec, compute_dtype)
         step_key = jax.random.fold_in(root_key, global_step)
+        timer.start()
         state, metrics = step_fn(state, batch, step_key)
         global_step += 1
 
-        loss = float(metrics["loss"])   # device sync point
-        timer.stop()
+        if pending is not None:
+            consume(pending)
+        pending = (global_step, metrics)
         trace.maybe_stop(global_step)
-        running(loss)
-        tb.step()
-        tb.log_scalar_dict({"train_loss": loss,
-                            "grad_norm": float(metrics["grad_norm"]),
-                            "lr": float(metrics["lr"]),
-                            "cnn_lr": float(metrics["cnn_lr"])}, "train")
-        if restorer is not None and main:
-            restorer.step(global_step,
+
+        sync_point = (global_step % valid_steps == 0
+                      or global_step == num_train_steps
+                      or (restorer is not None and main
+                          and global_step % restorer.save_steps == 0))
+        if not sync_point:
+            continue
+        consume(pending)
+        pending = None
+
+        if restorer is not None and main \
+                and global_step % restorer.save_steps == 0:
+            restorer.save(global_step,
                           {"params": state.params,
                            "opt": {"step": np.asarray(state.opt.step),
                                    "mu": state.opt.mu, "nu": state.opt.nu}})
@@ -278,10 +305,10 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
             elapsed = time.time() - t_start
             perf = timer.summary()
             LOGGER.info(f"step {global_step}/{num_train_steps} "
-                        f"loss {loss:.4f} ({elapsed:.1f}s, "
+                        f"loss {last_loss:.4f} ({elapsed:.1f}s, "
                         f"{perf.get('steps_per_sec', 0):.2f} steps/s)")
             tb.log_scalar_dict(perf, "perf")
-            entry = {"step": global_step, "loss": loss, **perf}
+            entry = {"step": global_step, "loss": last_loss, **perf}
             if spec.validate_fn is not None:
                 val_metrics = spec.validate_fn(state.params, eval_fn)
                 tb.log_scalar_dict(
@@ -293,6 +320,8 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
             if saver is not None:
                 saver.save(global_step, state.params)
 
+    if pending is not None:
+        consume(pending)
     trace.close()
     return {"params": state.params, "global_step": global_step,
             "history": history, "state": state}
