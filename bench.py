@@ -45,6 +45,8 @@ ITERS = 10
 
 
 def main():
+    from clipbert_tpu.core import compile_cache
+    compile_cache.enable()
     cfg = ModelConfig(num_labels=2, loss_type="ce", score_agg_func="lse")
     ts = steps.TaskSettings(head_type="retrieval", num_labels=2,
                             loss_type="ce", score_agg_func="lse",

@@ -178,6 +178,8 @@ def import_torch_e2e(flat: Dict[str, np.ndarray], cfg: ModelConfig,
 def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
           mesh=None, max_steps: Optional[int] = None) -> Dict[str, Any]:
     """Run training to completion; returns {params, global_step, history}."""
+    from clipbert_tpu.core import compile_cache
+    compile_cache.enable()
     run_cfg.validate()
     mesh = mesh or make_mesh()
     main = dist.is_main_process()
