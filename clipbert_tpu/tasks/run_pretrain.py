@@ -69,8 +69,8 @@ def build_one_loader(spec, cfg: RunConfig, tokenizer, is_train: bool):
             len(ds), cfg.train_batch_size, shuffle=True, seed=cfg.seed,
             process_index=dist.process_index(),
             process_count=dist.process_count())
-        return loader.DataLoader(ds, sampler, coll,
-                                 num_workers=cfg.n_workers), ds
+        dl = loader.DataLoader(ds, sampler, coll, num_workers=cfg.n_workers)
+        return dl, ds
     return common.build_eval_loader(ds, coll, cfg), ds
 
 
@@ -127,7 +127,9 @@ def start_training(cfg: RunConfig):
     steps_per_epoch = 0
     for spec in cfg.train_datasets:
         dl, _ds = build_one_loader(spec, cfg, tokenizer, is_train=True)
-        train_loaders[spec.name or str(spec.txt)] = dl
+        # prefetch so host->device transfer overlaps the previous step
+        train_loaders[spec.name or str(spec.txt)] = \
+            loader.PrefetchLoader(dl, mesh=mesh)
         ratios[spec.name or str(spec.txt)] = spec.ratio
         steps_per_epoch += len(dl)
     meta_loader = loader.MetaLoader(

@@ -271,12 +271,23 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
                             "lr": float(metrics["lr"]),
                             "cnn_lr": float(metrics["cnn_lr"])}, "train")
 
+    accum = run_cfg.gradient_accumulation_steps
+
     pending = None
     train_iter = iter(spec.train_loader)
     while global_step < num_train_steps:
-        batch = next(train_iter)
         trace.maybe_start(global_step)
-        batch = _to_device_batch(batch, mesh, spec, compute_dtype)
+        if accum == 1:
+            batch = _to_device_batch(next(train_iter), mesh, spec,
+                                     compute_dtype)
+        else:
+            # one update consumes `accum` loader batches (the reference's
+            # delay-unscale window, run_pretrain.py:398-404); micro-batches
+            # are stacked on a leading axis and scanned inside the jitted step
+            micros = [_to_device_batch(next(train_iter), mesh, spec,
+                                       compute_dtype)
+                      for _ in range(accum)]
+            batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micros)
         step_key = jax.random.fold_in(root_key, global_step)
         timer.start()
         state, metrics = step_fn(state, batch, step_key)

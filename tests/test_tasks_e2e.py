@@ -223,3 +223,24 @@ def test_pretrain_end_to_end(workspace):
     assert result["global_step"] == 3
     val = result["history"][-1]["val"]
     assert "coco_mlm_acc" in val and "coco_itm_acc" in val
+
+
+def test_pretrain_grad_accumulation(workspace):
+    """gradient_accumulation_steps>1 consumes N loader batches per update."""
+    from clipbert_tpu.tasks import run_pretrain
+    root = workspace["root"]
+    rows = [{"img_id": f"img{i % 12}", "txt": f"a cat sits {i}"}
+            for i in range(32)]
+    ann = root / "cap_accum.jsonl"
+    write_jsonl(ann, rows)
+    cfg = base_cfg(workspace, "pretrain_accum_out",
+                   train_datasets=[
+                       DatasetSpec(name="coco", txt=str(ann),
+                                   img=workspace["img_store"], ratio=1.0)],
+                   val_datasets=[],
+                   use_mlm=True, use_itm=True,
+                   gradient_accumulation_steps=2,
+                   max_n_example_per_group=1)
+    result = run_pretrain.start_training(cfg)
+    assert result["global_step"] == 3
+    assert np.isfinite(result["history"][-1]["loss"])
