@@ -11,7 +11,7 @@ Layer map (bottom-up):
   parallel/ multi-host & multi-chip collectives and sharding helpers
   train/    optimizer (AdamW w/ 8 param groups), LR schedules, step functions, trainer
   data/     tokenizer, samplers, transforms, datasets, loaders, media stores
-  eval/     retrieval / VQA / TGIF-QA metrics
+  evaluation/ retrieval metrics (VQA / TGIF-QA scorers live on the datasets)
   ckpt/     checkpoint save/restore + PyTorch-checkpoint importers
   tasks/    per-task entrypoints (pretrain, retrieval, video QA, VQA, MSRVTT-MC)
 """
