@@ -197,10 +197,13 @@ def import_resnet50_d2(sd: Dict[str, np.ndarray],
     With ``bgr_checkpoint`` the stem input channels are flipped so the model
     takes RGB input with the BGR-trained weights.
     """
-    # normalize prefixes: strip "backbone."/"model." and map roi_heads.res5 -> res5
+    # normalize prefixes: strip "model."/"feature."/"backbone." (the e2e
+    # wrapper stores the d2 model as `cnn.feature`, grid_feat.py:42) and map
+    # roi_heads.res5 -> res5 (the Res5ROIHeads variant keeps res5 there)
     norm: Dict[str, np.ndarray] = {}
     for k, v in sd.items():
-        k = k.removeprefix("model.").removeprefix("backbone.")
+        k = k.removeprefix("model.").removeprefix("feature.")
+        k = k.removeprefix("backbone.")
         k = k.replace("roi_heads.res5", "res5")
         norm[k] = v
     sd = norm
