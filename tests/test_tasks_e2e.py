@@ -244,3 +244,27 @@ def test_pretrain_grad_accumulation(workspace):
     result = run_pretrain.start_training(cfg)
     assert result["global_step"] == 3
     assert np.isfinite(result["history"][-1]["loss"])
+
+
+def test_retrieval_rank_loss_e2e(workspace):
+    """Retrieval training with the margin-rank head (loss_type=rank,
+    num_labels=1 — modeling.py:560-580 semantics)."""
+    from clipbert_tpu.tasks import run_video_retrieval
+    root = workspace["root"]
+    rows = [{"vid_id": f"vid{i}", "txt": f"a dog jumps {i}", "id": i}
+            for i in range(8)]
+    ann = root / "ret_rank.jsonl"
+    write_jsonl(ann, rows)
+    cfg = base_cfg(workspace, "ret_rank_out",
+                   train_datasets=[DatasetSpec(name="ret", txt=str(ann),
+                                               img=workspace["vid_store"])],
+                   val_datasets=[DatasetSpec(name="ret", txt=str(ann),
+                                             img=workspace["vid_store"])],
+                   loss_type="rank", score_agg_func="mean", margin=0.2,
+                   train_n_clips=1, inference_n_clips=1, num_frm=1, fps=4,
+                   itm_neg_size=1, train_batch_size=8,
+                   inference_batch_size=4)
+    result = run_video_retrieval.start_training(cfg)
+    assert result["global_step"] == 3
+    val = result["history"][-1]["val"]
+    assert "t2v_r1" in val  # rank head scored via sigmoid prob
