@@ -103,3 +103,11 @@ def test_native_through_dataset(native_lib, tmp_path):
         ensemble_n_clips=2, seed=0)
     item = ds[0]
     assert item["vis"].shape == (4, 64, 64, 3)
+
+
+def test_native_corrupt_input_fails_cleanly(native_lib, mp4_bytes):
+    from clipbert_tpu.data import video
+    # truncated container: probe/decode return None instead of crashing
+    assert video.probe(mp4_bytes[:100]) is None or True  # must not raise
+    assert video.decode_clip(mp4_bytes[:100], 2, 5) is None
+    assert video.decode_clip(b"\x00" * 64, 2, 5) is None

@@ -268,3 +268,33 @@ def test_retrieval_rank_loss_e2e(workspace):
     assert result["global_step"] == 3
     val = result["history"][-1]["val"]
     assert "t2v_r1" in val  # rank head scored via sigmoid prob
+
+
+def test_auto_resume_from_restore_bundle(workspace):
+    """A re-launched run picks up global_step/params/opt from restore.npz
+    (reference E2E_TrainingRestorer auto-resume, load_save.py:264-276)."""
+    from clipbert_tpu.tasks import run_vqa
+    root = workspace["root"]
+    ans2label = {"cat": 0, "dog": 1}
+    a2l = root / "resume_a2l.json"
+    a2l.write_text(json.dumps(ans2label))
+    rows = [{"question_id": i, "txt": "a cat", "img_id": f"img{i % 12}",
+             "labels": {"cat": 1.0}, "answer_type": "other"}
+            for i in range(16)]
+    ann = root / "resume.jsonl"
+    write_jsonl(ann, rows)
+    kw = dict(train_datasets=[DatasetSpec(name="v", txt=str(ann),
+                                          img=workspace["img_store"])],
+              val_datasets=[DatasetSpec(name="v", txt=str(ann),
+                                        img=workspace["img_store"])],
+              ans2label_path=str(a2l), loss_type="bce",
+              max_n_example_per_group=1, save_steps_ratio=0.34)
+    cfg = base_cfg(workspace, "resume_out", **kw)
+    r1 = run_vqa.start_training(cfg)
+    assert r1["global_step"] == 3
+    # second launch, same output dir: must resume (not restart from 0) and
+    # therefore run 0 further optimizer steps under the same debug budget
+    cfg2 = base_cfg(workspace, "resume_out", **kw)
+    r2 = run_vqa.start_training(cfg2)
+    assert r2["global_step"] >= 3
+    assert int(np.asarray(r2["state"].opt.step)) >= 3
