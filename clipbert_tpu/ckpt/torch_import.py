@@ -16,7 +16,7 @@ importing torch.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict
 
 import numpy as np
 

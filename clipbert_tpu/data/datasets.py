@@ -31,7 +31,7 @@ batches ready for `jax.device_put`; all randomness flows through explicit
 from __future__ import annotations
 
 import random
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -27,8 +27,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import queue
-import threading
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np

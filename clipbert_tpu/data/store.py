@@ -20,12 +20,11 @@ The ingest CLI (reference `file2lmdb.py`) equivalent lives in
 
 from __future__ import annotations
 
-import io
 import json
 import mmap
 import os
 import struct
-from typing import Dict, Iterable, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple
 
 MAGIC = b"CBPK"
 VERSION = 1

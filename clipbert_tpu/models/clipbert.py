@@ -37,7 +37,6 @@ import jax.numpy as jnp
 from clipbert_tpu.core.config import ModelConfig
 from clipbert_tpu.core.rng import RngGen
 from clipbert_tpu.models import bert, resnet, visual_embed
-from clipbert_tpu.ops.activations import ACT2FN
 from clipbert_tpu.ops.dropout import dropout
 from clipbert_tpu.ops.linear import linear
 

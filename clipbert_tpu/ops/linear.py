@@ -7,7 +7,7 @@ torch (out, in) layout once at load time).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 

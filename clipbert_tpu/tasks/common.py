@@ -3,8 +3,7 @@ pooled-logit validation, and the inference-time config restore."""
 
 from __future__ import annotations
 
-import os
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
@@ -13,11 +12,10 @@ import jax
 from clipbert_tpu.ckpt import checkpoint
 from clipbert_tpu.core.config import ModelConfig, RunConfig
 from clipbert_tpu.core.mesh import data_shard
-from clipbert_tpu.data import datasets, loader, transforms
+from clipbert_tpu.data import loader, transforms
 from clipbert_tpu.data.store import open_store
 from clipbert_tpu.data.tokenization import BertTokenizer
 from clipbert_tpu.utils import distributed as dist
-from clipbert_tpu.utils.basic import load_json
 from clipbert_tpu.utils.logger import LOGGER
 
 

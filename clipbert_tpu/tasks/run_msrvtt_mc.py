@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from clipbert_tpu.core.config import RunConfig, inject_task_attrs, load_run_config
 from clipbert_tpu.core.mesh import make_mesh
-from clipbert_tpu.data import datasets, transforms
+from clipbert_tpu.data import datasets
 from clipbert_tpu.data.datasets import MSRVTTMCEvalDataset
 from clipbert_tpu.tasks import common
 from clipbert_tpu.train import steps

@@ -11,15 +11,14 @@ Annotation jsonl rows: {"img_id" (or "vid_id"), "txt"}.
 
 from __future__ import annotations
 
-import os
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
 import jax.numpy as jnp
 
-from clipbert_tpu.core.config import (ModelConfig, RunConfig,
-                                      inject_task_attrs, load_run_config)
+from clipbert_tpu.core.config import (RunConfig, inject_task_attrs,
+                                      load_run_config)
 from clipbert_tpu.core.mesh import make_mesh
 from clipbert_tpu.data import datasets, loader, transforms
 from clipbert_tpu.data.datasets import PretrainCollator, PretrainDataset
@@ -27,7 +26,6 @@ from clipbert_tpu.tasks import common
 from clipbert_tpu.train import steps, trainer
 from clipbert_tpu.utils import distributed as dist
 from clipbert_tpu.utils.basic import load_jsonl
-from clipbert_tpu.utils.logger import LOGGER
 
 
 def make_task_settings(cfg: RunConfig) -> steps.TaskSettings:

@@ -18,7 +18,7 @@ caption "id" equal to their line index.
 from __future__ import annotations
 
 import os
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from clipbert_tpu.core.config import (ModelConfig, RunConfig,
                                       inject_task_attrs, load_run_config)
 from clipbert_tpu.core.mesh import make_mesh
-from clipbert_tpu.data import datasets, loader, transforms
+from clipbert_tpu.data import datasets, transforms
 from clipbert_tpu.data.datasets import (VideoRetrievalEvalDataset,
                                         VideoRetrievalTrainDataset)
 from clipbert_tpu.evaluation import metrics as eval_metrics

@@ -45,7 +45,7 @@ from clipbert_tpu.core.config import ModelConfig
 from clipbert_tpu.core.rng import RngGen
 from clipbert_tpu.models import clipbert
 from clipbert_tpu.train import optim, sched
-from clipbert_tpu.train.optim import AdamWState, GroupMeta, OptimConfig
+from clipbert_tpu.train.optim import AdamWState, OptimConfig
 
 Params = Dict[str, Any]
 

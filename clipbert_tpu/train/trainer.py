@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
 
 import numpy as np
@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from clipbert_tpu.ckpt import checkpoint, torch_import
-from clipbert_tpu.core.config import ModelConfig, RunConfig, inject_task_attrs
+from clipbert_tpu.core.config import ModelConfig, RunConfig
 from clipbert_tpu.core.mesh import make_mesh, replicate_tree
 from clipbert_tpu.data import transforms
 from clipbert_tpu.models import clipbert
