@@ -103,6 +103,9 @@ def start_training(cfg: RunConfig):
     return trainer.train(cfg, model_cfg, spec, mesh=mesh)
 
 
+VIDEO_EVAL_BATCH = 4  # videos whose cached features are scored together
+
+
 def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
                         eval_ds: VideoRetrievalEvalDataset, mesh,
                         compute_dtype) -> Dict:
@@ -110,7 +113,9 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
 
     Scores use the softmax positive-class probability for ce heads and
     sigmoid for rank heads (run_video_retrieval.py:679-682), pooled over
-    clips by cfg.score_agg_func.
+    clips by cfg.score_agg_func. Videos are decoded by a threaded prefetch
+    loader and scored VIDEO_EVAL_BATCH at a time — (videos x clips x texts)
+    fold into one BERT batch.
     """
     ts = steps.TaskSettings(
         head_type="retrieval", num_labels=cfg.num_labels,
@@ -143,31 +148,47 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
                             jax.device_put(mask, sharding), n_valid))
 
     nf = eval_ds.num_frm
-    my_videos = range(dist.process_index(), len(eval_ds),
-                      dist.process_count())
+    my_videos = list(range(dist.process_index(), len(eval_ds),
+                           dist.process_count()))
+    vb = max(1, VIDEO_EVAL_BATCH)
+
+    def video_batches():
+        """Threaded decode of the next video batch while scoring this one."""
+        from concurrent.futures import ThreadPoolExecutor
+        groups = [my_videos[i:i + vb] for i in range(0, len(my_videos), vb)]
+
+        def load(group):
+            return group, np.stack([eval_ds[v]["vis"] for v in group
+                                    ] + [eval_ds[group[-1]]["vis"]
+                                         ] * (vb - len(group)))
+
+        with ThreadPoolExecutor(max(2, cfg.n_workers)) as pool:
+            yield from pool.map(load, groups)
+
     rows = []  # (video_idx, scores (n_caps,))
-    for vidx in my_videos:
-        item = eval_ds[vidx]
-        vis = item["vis"]  # (n_clips*nf, S, S, 3) uint8
-        nc = vis.shape[0] // nf
+    for group, vis in video_batches():
+        # vis: (vb, n_clips*nf, S, S, 3) uint8 -> (vb*nc, nf, S, S, 3)
+        nc = vis.shape[1] // nf
         pixels = transforms.normalize_pixels(
-            jnp.asarray(vis.reshape(nc, nf, *vis.shape[1:])),
+            jnp.asarray(vis.reshape(vb * nc, nf, *vis.shape[2:])),
             compute_dtype=compute_dtype)
-        feats = encode_fn(params, pixels)  # cached once per video
-        scores = np.zeros(n_caps, np.float32)
+        feats = encode_fn(params, pixels)         # cached once per video
+        feats = feats.reshape((vb, nc) + feats.shape[1:])
+        scores = np.zeros((vb, n_caps), np.float32)
         for bi, (ids, mask, n_valid) in enumerate(cap_batches):
-            clip_logits = np.asarray(score_fn(params, feats, ids, mask))
-            pooled = np.asarray(
-                steps.pool_clip_logits(jnp.asarray(clip_logits),
-                                       cfg.score_agg_func))
+            clip_logits = score_fn(params, feats, ids, mask)  # (vb,B_t,nc,L)
+            pooled = np.asarray(steps.pool_clip_logits(
+                clip_logits.reshape((-1,) + clip_logits.shape[2:]),
+                cfg.score_agg_func)).reshape(vb, clip_logits.shape[1], -1)
             if cfg.loss_type == "ce":
                 e = np.exp(pooled - pooled.max(-1, keepdims=True))
-                prob = (e / e.sum(-1, keepdims=True))[:, 1]
+                prob = (e / e.sum(-1, keepdims=True))[:, :, 1]
             else:
-                prob = 1.0 / (1.0 + np.exp(-pooled[:, 0]))
+                prob = 1.0 / (1.0 + np.exp(-pooled[:, :, 0]))
             s = bi * bsz
-            scores[s:s + n_valid] = prob[:n_valid]
-        rows.append((vidx, scores))
+            scores[:, s:s + n_valid] = prob[:, :n_valid]
+        for j, vidx in enumerate(group):
+            rows.append((vidx, scores[j]))
 
     gathered = dist.all_gather_objects(rows)
     all_rows = sorted([r for rank in gathered for r in rank])

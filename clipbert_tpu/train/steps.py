@@ -401,21 +401,24 @@ def make_visual_encode_step(cfg: ModelConfig,
 def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
                          mesh: Optional[Mesh] = None,
                          compute_dtype=jnp.bfloat16) -> Callable:
-    """(params, feats (nc, T, Hg, Wg, D), ids (B_t, Lt), mask) ->
-    (B_t, nc, L) logits: one cached video's clips scored against a text
-    minibatch. Clip axis folds into batch."""
+    """(params, feats (B_v, nc, T, Hg, Wg, D), ids (B_t, Lt), mask) ->
+    (B_v, B_t, nc, L) logits: a batch of cached videos' clips scored against
+    a text minibatch. Videos AND clips fold into one big BERT batch
+    (B_v*nc*B_t sequences) so the MXU stays saturated."""
 
     def step(params, feats, ids, mask):
-        nc = feats.shape[0]
+        B_v, nc = feats.shape[:2]
         B_t = ids.shape[0]
-        # (nc, ...) -> (nc*B_t, ...): each clip repeated for every text
-        f = jnp.repeat(feats, B_t, axis=0)
+        # (B_v, nc, ...) -> (B_v*nc*B_t, ...): every (video, clip) paired
+        # with every text in the minibatch
+        f = feats.reshape((B_v * nc,) + feats.shape[2:])
+        f = jnp.repeat(f, B_t, axis=0)
         out = clipbert.clipbert_forward(
             params, cfg,
-            {"text_input_ids": jnp.tile(ids, (nc, 1)),
-             "text_input_mask": jnp.tile(mask, (nc, 1))},
+            {"text_input_ids": jnp.tile(ids, (B_v * nc, 1)),
+             "text_input_mask": jnp.tile(mask, (B_v * nc, 1))},
             ts.head_type, train=False, compute_dtype=compute_dtype,
             visual_features=f, group_size=1)
-        return out["logits"].reshape(nc, B_t, -1).transpose(1, 0, 2)
+        return out["logits"].reshape(B_v, nc, B_t, -1).transpose(0, 2, 1, 3)
 
     return jax.jit(step)

@@ -222,8 +222,8 @@ def test_retrieval_eval_feature_cache_consistency():
     score = steps.make_text_score_step(cfg, ts, compute_dtype=jnp.float32)
     vis = batch["visual_inputs"].reshape(2, 1, 64, 64, 3)  # (nc, nf, H, W, 3)
     feats = enc(params, vis)
-    got = score(params, feats, batch["text_input_ids"],
-                batch["text_input_mask"])  # (1, nc, 2)
+    got = score(params, feats[None], batch["text_input_ids"],
+                batch["text_input_mask"])[0]  # (B_v=1 ->) (B_t, nc, 2)
 
     from clipbert_tpu.core.rng import RngGen
     want = steps.mil_forward(params, cfg, ts, batch, RngGen(None), False,
