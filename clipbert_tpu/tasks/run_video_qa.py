@@ -173,6 +173,9 @@ def start_inference(cfg: RunConfig):
         save_json({k: v for k, v in metrics.items() if k != "results"},
                   os.path.join(cfg.output_dir,
                                f"videoqa_{cfg.task}_metrics_step{step}.json"))
+        save_json(metrics.get("results", []),
+                  os.path.join(cfg.output_dir,
+                               f"videoqa_{cfg.task}_results_step{step}.json"))
         LOGGER.info({k: v for k, v in metrics.items() if k != "results"})
     return metrics
 

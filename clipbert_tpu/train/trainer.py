@@ -186,8 +186,13 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
     tb = TB_LOGGER if main else NoOp()
     out_dir = run_cfg.output_dir
     if main and out_dir:
+        # args.json + model_config.json + a code.zip snapshot of the
+        # package tree (reference save_training_meta, load_save.py:17-40)
+        import clipbert_tpu
+        code_dir = os.path.dirname(os.path.dirname(
+            os.path.abspath(clipbert_tpu.__file__)))
         checkpoint.save_training_meta(out_dir, run_cfg.to_dict(),
-                                      model_cfg.to_dict())
+                                      model_cfg.to_dict(), code_dir=code_dir)
         tb.create(os.path.join(out_dir, "log"))
 
     steps_per_epoch = max(1, spec.steps_per_epoch)
