@@ -165,6 +165,25 @@ int vdec_decode_indices(const char* data, size_t size, const long* indices,
 
   std::set<long> wanted(indices, indices + n);
   const long max_idx = *wanted.rbegin();
+  const long min_idx = *wanted.begin();
+
+  // Seek to the keyframe at/before the first wanted frame (the reference's
+  // PTS-seek with margin, decoder.py:83-86) so late clips in long videos
+  // don't pay a full decode from frame 0. Frame indices are recovered from
+  // the first decoded pts after the seek.
+  AVStream* st = d.fmt->streams[d.stream_idx];
+  bool seeked = false;
+  double ticks_per_frame = 0.0;
+  if (min_idx > 0 && st->avg_frame_rate.num > 0) {
+    ticks_per_frame = (double)st->time_base.den * st->avg_frame_rate.den /
+                      ((double)st->time_base.num * st->avg_frame_rate.num);
+    int64_t target_pts = (int64_t)(min_idx * ticks_per_frame);
+    if (av_seek_frame(d.fmt, d.stream_idx, target_pts,
+                      AVSEEK_FLAG_BACKWARD) >= 0) {
+      avcodec_flush_buffers(d.codec);
+      seeked = true;
+    }
+  }
 
   SwsContext* sws = nullptr;
   AVPacket* pkt = av_packet_alloc();
@@ -174,6 +193,7 @@ int vdec_decode_indices(const char* data, size_t size, const long* indices,
   AVFrame* last_seen = nullptr;  // refcounted clone, clamp fallback
 
   long fidx = 0;
+  bool fidx_known = !seeked;  // after a seek, derive fidx from the first pts
   bool done = false;
   auto to_rgb = [&](AVFrame* f, uint8_t* dst_buf) {
     if (!sws) {
@@ -186,6 +206,15 @@ int vdec_decode_indices(const char* data, size_t size, const long* indices,
     sws_scale(sws, f->data, f->linesize, 0, h, dst, dst_stride);
   };
   auto consume = [&](AVFrame* f) {
+    if (!fidx_known) {
+      int64_t pts = f->best_effort_timestamp != AV_NOPTS_VALUE
+                        ? f->best_effort_timestamp
+                        : f->pts;
+      if (pts != AV_NOPTS_VALUE && ticks_per_frame > 0) {
+        fidx = (long)((double)pts / ticks_per_frame + 0.5);
+      }
+      fidx_known = true;
+    }
     if (wanted.count(fidx)) {
       std::vector<uint8_t> rgb(frame_bytes);
       to_rgb(f, rgb.data());

@@ -111,3 +111,19 @@ def test_native_corrupt_input_fails_cleanly(native_lib, mp4_bytes):
     assert video.probe(mp4_bytes[:100]) is None or True  # must not raise
     assert video.decode_clip(mp4_bytes[:100], 2, 5) is None
     assert video.decode_clip(b"\x00" * 64, 2, 5) is None
+
+
+def test_native_seek_exact_on_long_video(native_lib, tmp_path):
+    """Keyframe seek recovers exact frame indices on a long video (the
+    reference's PTS-seek behavior, decoder.py:83-86)."""
+    from clipbert_tpu.data import video
+    path = tmp_path / "long.mp4"
+    assert native_lib.venc_make_test_video(str(path).encode(), 64, 48, 240,
+                                           24.0) == 0
+    data = path.read_bytes()
+    assert video.probe(data) == (24.0, 240)
+    out = video.decode_indices(data, np.array([0, 100, 200, 239]))
+    means = out.mean(axis=(1, 2, 3))
+    expected = (np.array([16 + 220 * t / 239 for t in [0, 100, 200, 239]])
+                - 16) * 255.0 / 219.0
+    np.testing.assert_allclose(means, expected, atol=8)
