@@ -75,39 +75,6 @@ def device_batch(batch: Dict, mesh, mean=transforms.IMAGENET_MEAN_255,
     return dev, host
 
 
-def classification_validate(val_loader, mesh, cfg: RunConfig,
-                            compute_dtype,
-                            collect: Callable[[np.ndarray, Dict], None],
-                            batch_pad_to: Optional[int] = None):
-    """Shared eval loop: run eval_fn over the loader, handing pooled logits +
-    host metadata to `collect`. Returns a closure for TaskSpec.validate_fn.
-
-    The produced validate(params, eval_fn) pads ragged tail batches to the
-    fixed batch size (one compiled shape), slices back to n_valid, and
-    gathers results across hosts.
-    """
-
-    def validate(params, eval_fn) -> Dict[str, Any]:
-        results: List = []
-        for batch in val_loader:
-            n_texts = batch["text_input_ids"].shape[0]
-            n_vis = batch["visual_inputs"].shape[0]
-            dev, host = device_batch(batch, mesh, compute_dtype=compute_dtype)
-            out = eval_fn(params, dev)
-            logits = np.asarray(out["logits"])[:n_texts]
-            collect(logits, {**host, "n_texts": n_texts, "n_vis": n_vis,
-                             "results": results})
-        all_results = dist.all_gather_objects(results)
-        return finalize_gathered(all_results)
-
-    return validate
-
-
-def finalize_gathered(all_results: List[List]) -> Dict[str, Any]:
-    flat = [r for rank in all_results for r in rank]
-    return {"results": flat}
-
-
 def restore_inference_config(cfg: RunConfig) -> RunConfig:
     """At inference, replay the stored training args except inference_* keys
     (run_video_retrieval.py:737-766)."""
