@@ -286,3 +286,60 @@ def test_decode_clip_strategies():
 
 def test_decode_clip_bad_data_returns_none():
     assert video.decode_clip(b"notavideo" * 10, 2, 30) is None
+
+
+# ---------------------------------------------------------------------------
+# edge cases
+# ---------------------------------------------------------------------------
+
+def test_plan_clip_video_shorter_than_clip():
+    """Video shorter than the requested clip: indices clamp and repeat
+    (reference temporal_sampling clamps to len-1, decoder.py:11-28)."""
+    plan = sampling.plan_clip(3, fps=30, num_frames=8, target_fps=3,
+                              num_clips=1, clip_idx=0)
+    assert plan.indices.min() >= 0 and plan.indices.max() <= 2
+    assert len(plan.indices) == 8
+
+
+def test_plan_clip_single_frame_video():
+    plan = sampling.plan_clip(1, fps=30, num_frames=4, target_fps=3,
+                              sampling_strategy="uniform")
+    np.testing.assert_array_equal(plan.indices, [0, 0, 0, 0])
+
+
+def test_decode_clip_requests_beyond_length():
+    blob, _ = synthetic_video(n_frames=5)
+    out = video.decode_clip(blob, num_frames=8, target_fps=60,
+                            sampling_strategy="uniform")
+    assert out.shape[0] == 8  # clamped repeats
+
+
+def test_mask_text_tokens_all_special_rows():
+    rng = np.random.default_rng(0)
+    inputs = np.full((4, 6), 7, np.int64)
+    special = np.ones((4, 6), np.int64)  # everything special -> nothing masked
+    masked, labels = transforms.mask_text_tokens(
+        inputs, special, mask_token_id=4, vocab_size=10, rng=rng)
+    assert (labels == -100).all()
+    np.testing.assert_array_equal(masked, inputs)
+
+
+def test_retrieval_metrics_with_ties():
+    from clipbert_tpu.evaluation import metrics
+    # all-equal scores: stable sort puts GT at its column index
+    scores = np.ones((3, 4), np.float32)
+    ranks = metrics.gt_ranks_from_scores(scores, np.array([0, 2, 3]))
+    np.testing.assert_array_equal(ranks, [0, 2, 3])
+
+
+def test_resize_noop_and_tiny_images():
+    frames = np.zeros((1, 8, 8, 3), np.uint8)
+    out = transforms.resize_frames(frames, 8)
+    assert out.shape == (1, 8, 8, 3)
+    up = transforms.resize_frames(frames, 16)
+    assert up.shape == (1, 16, 16, 3)
+
+
+def test_chunk_list_single_and_empty_guard():
+    assert transforms.chunk_list([1], 2, True) == [[1, 1]]
+    assert transforms.chunk_list([1, 2], 2, True) == [[1, 2]]
