@@ -261,3 +261,27 @@ def test_ingest_video_jseq(tmp_path):
     s = store.open_store(out)
     clip = video.decode_clip(bytes(s.get("v1")), 2, 5, "uniform")
     assert clip.shape == (2, 16, 16, 3)
+
+
+def test_meta_loader_host_determinism():
+    """Same seed -> identical task sequence on every host (replaces the
+    reference's any_broadcast task sync, dataloader.py:44-46)."""
+    class FakeLoader:
+        def __init__(self, tag):
+            self.tag = tag
+
+        def __iter__(self):
+            return iter([self.tag] * 3)
+
+    def seq():
+        ml = loader.MetaLoader({"a": FakeLoader("a"), "b": FakeLoader("b")},
+                               ratios={"a": 2.0, "b": 1.0}, accum_steps=2,
+                               seed=11)
+        it = iter(ml)
+        return [next(it)[0] for _ in range(40)]
+
+    s1, s2 = seq(), seq()
+    assert s1 == s2
+    # accumulation windows keep the same task for accum_steps consecutive
+    for i in range(0, 40, 2):
+        assert s1[i] == s1[i + 1]
