@@ -19,8 +19,13 @@ def enable(cache_dir: str = _DEFAULT_DIR) -> None:
     if _enabled:
         return
     import jax
-    os.makedirs(cache_dir, exist_ok=True)
     try:
+        # CPU AOT cache entries are machine-feature-sensitive (loading one
+        # compiled with different CPU features risks SIGILL) — only cache
+        # accelerator compiles.
+        if jax.default_backend() == "cpu":
+            return
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         _enabled = True
