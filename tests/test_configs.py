@@ -44,3 +44,19 @@ def test_cli_overrides_config(tmp_path):
     assert cfg.train_batch_size == 99
     assert cfg.debug is True
     assert cfg.score_agg_func == "lse"  # from file
+
+
+def test_restore_inference_config_keeps_inference_keys():
+    from clipbert_tpu.core.config import RunConfig
+    live = RunConfig(output_dir="/out", do_inference=True,
+                     inference_n_clips=16, inference_batch_size=4,
+                     train_batch_size=99)
+    stored = {"train_batch_size": 16, "inference_n_clips": 1,
+              "output_dir": "/training_out", "score_agg_func": "lse",
+              "do_inference": False}
+    merged = live.restore_from_training_args(stored)
+    assert merged.train_batch_size == 16        # training arg replayed
+    assert merged.score_agg_func == "lse"       # training arg replayed
+    assert merged.inference_n_clips == 16       # inference_* kept live
+    assert merged.output_dir == "/out"          # output_dir kept live
+    assert merged.do_inference is True          # kept live

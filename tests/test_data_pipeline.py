@@ -343,3 +343,12 @@ def test_resize_noop_and_tiny_images():
 def test_chunk_list_single_and_empty_guard():
     assert transforms.chunk_list([1], 2, True) == [[1, 1]]
     assert transforms.chunk_list([1, 2], 2, True) == [[1, 2]]
+
+
+def test_tokenizer_overlong_word_is_unk(tmp_path):
+    vocab = tmp_path / "v.txt"
+    tokenization.write_tiny_vocab(str(vocab))
+    tok = tokenization.BertTokenizer(str(vocab))
+    assert tok.tokenize("a" * 200) == ["[UNK]"]
+    # unknown character sequences also fall back to UNK
+    assert tok.convert_tokens_to_ids(["[UNK]"])[0] == tok.unk_token_id

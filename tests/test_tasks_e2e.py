@@ -298,3 +298,27 @@ def test_auto_resume_from_restore_bundle(workspace):
     r2 = run_vqa.start_training(cfg2)
     assert r2["global_step"] >= 3
     assert int(np.asarray(r2["state"].opt.step)) >= 3
+
+
+def test_vqa_bf16_compute_path(workspace):
+    """bf16 policy (the production default) through train + validate."""
+    from clipbert_tpu.tasks import run_vqa
+    root = workspace["root"]
+    ans2label = {"cat": 0, "dog": 1}
+    a2l = root / "bf16_a2l.json"
+    a2l.write_text(json.dumps(ans2label))
+    rows = [{"question_id": i, "txt": "a cat", "img_id": f"img{i % 12}",
+             "labels": {"cat": 1.0}, "answer_type": "other"}
+            for i in range(16)]
+    ann = root / "bf16.jsonl"
+    write_jsonl(ann, rows)
+    cfg = base_cfg(workspace, "bf16_out",
+                   train_datasets=[DatasetSpec(name="v", txt=str(ann),
+                                               img=workspace["img_store"])],
+                   val_datasets=[DatasetSpec(name="v", txt=str(ann),
+                                             img=workspace["img_store"])],
+                   ans2label_path=str(a2l), loss_type="bce",
+                   max_n_example_per_group=1, bf16=True)
+    result = run_vqa.start_training(cfg)
+    assert result["global_step"] == 3
+    assert np.isfinite(result["history"][-1]["loss"])
