@@ -1,17 +1,20 @@
-"""Benchmark: MSRVTT 16-clip retrieval-inference per-clip throughput.
+"""Benchmark: MSRVTT retrieval-inference per-clip throughput, 16-clip + 1-clip.
 
 Measures the reference's per-clip unit of work (SURVEY.md §3.4) at the
 MSRVTT retrieval inference configuration (`/root/reference/src/configs/
-msrvtt_ret_base_resnet50.json:17-23`, README.md:109-124): 16 clips x
+msrvtt_ret_base_resnet50.json:17-23`, README.md:109-124): N clips x
 2 frames @ 448x448 through ResNet-50 grid features + joint text-visual
-BERT-base forward (text len 20), bf16, one chip. Reported metric is
-clips/sec/chip; `vs_baseline` divides by an estimated V100 fp16 throughput
-for the same unit under the reference implementation (documented below).
+BERT-base forward (text len 20), bf16, one chip, at BOTH headline clip
+counts (`--inference_n_clips` in {1, 16}, README.md:109-124). The reported
+metric/vs_baseline use the 16-clip unit; `value_1clip` carries the 1-clip
+number. Total clips per step is 64 in both configs (4 videos x 16 clips /
+64 videos x 1 clip), matching inference_batch_size 64.
 
 Methodology: the timing loop is a `lax.scan` INSIDE one jitted program —
 the remote-TPU platform defers unfetched executions and charges a host RTT
 per fetch, so chaining iterations on device and fetching a single scalar is
-the only honest clock.
+the only honest clock. Inference params have the frozen-BN scales folded
+into the conv kernels (resnet.fold_bn_scales), as the eval paths do.
 
 Prints ONE JSON line.
 """
@@ -36,33 +39,25 @@ from clipbert_tpu.train import steps
 # therefore sits at vs_baseline = 5.0.
 V100_BASELINE_CLIPS_PER_SEC = 250.0
 
-NUM_CLIPS = 16
 NUM_FRM = 2
 IMG = 448
 TXT_LEN = 20
-BATCH_VIDEOS = 4  # videos per step; clips fold into batch (64 clip-forwards)
 ITERS = 10
 
 
-def main():
-    from clipbert_tpu.core import compile_cache
-    compile_cache.enable()
-    cfg = ModelConfig(num_labels=2, loss_type="ce", score_agg_func="lse")
+def measure(params, cfg, num_clips: int, batch_videos: int) -> float:
     ts = steps.TaskSettings(head_type="retrieval", num_labels=2,
                             loss_type="ce", score_agg_func="lse",
-                            train_n_clips=NUM_CLIPS, group_size=1)
-    params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
-    params = jax.device_put(params)
-
+                            train_n_clips=num_clips, group_size=1)
     rng = np.random.default_rng(0)
     batch = {
         "text_input_ids": jnp.asarray(
-            rng.integers(0, cfg.vocab_size, (BATCH_VIDEOS, TXT_LEN)),
+            rng.integers(0, cfg.vocab_size, (batch_videos, TXT_LEN)),
             jnp.int32),
-        "text_input_mask": jnp.ones((BATCH_VIDEOS, TXT_LEN), jnp.int32),
+        "text_input_mask": jnp.ones((batch_videos, TXT_LEN), jnp.int32),
         "visual_inputs": jnp.asarray(
             rng.standard_normal(
-                (BATCH_VIDEOS, NUM_CLIPS * NUM_FRM, IMG, IMG, 3)) * 0.5,
+                (batch_videos, num_clips * NUM_FRM, IMG, IMG, 3)) * 0.5,
             jnp.bfloat16),
     }
     batch = jax.device_put(batch)
@@ -88,13 +83,26 @@ def main():
     acc = float(np.asarray(loop_fn(params, batch)))
     dt = time.perf_counter() - t0
     assert np.isfinite(acc)
+    return ITERS * batch_videos * num_clips / dt
 
-    clips_per_sec = ITERS * BATCH_VIDEOS * NUM_CLIPS / dt
+
+def main():
+    from clipbert_tpu.core import compile_cache
+    compile_cache.enable()
+    cfg = ModelConfig(num_labels=2, loss_type="ce", score_agg_func="lse")
+    params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
+    params = clipbert.fold_cnn_bn_scales(params)
+    params = jax.device_put(params)
+
+    clips_16 = measure(params, cfg, num_clips=16, batch_videos=4)
+    clips_1 = measure(params, cfg, num_clips=1, batch_videos=64)
+
     print(json.dumps({
         "metric": "msrvtt_retrieval_16clip_clips_per_sec_per_chip",
-        "value": round(clips_per_sec, 2),
+        "value": round(clips_16, 2),
         "unit": "clips/s",
-        "vs_baseline": round(clips_per_sec / V100_BASELINE_CLIPS_PER_SEC, 3),
+        "vs_baseline": round(clips_16 / V100_BASELINE_CLIPS_PER_SEC, 3),
+        "value_1clip": round(clips_1, 2),
     }))
 
 

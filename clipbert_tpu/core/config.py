@@ -194,6 +194,10 @@ class RunConfig:
     inference_img_db: Optional[str] = None
     inference_batch_size: int = 64
     inference_n_clips: int = 1
+    # videos whose cached features fold into one BERT scoring batch during
+    # full-matrix retrieval eval (ours; the reference recomputes per text
+    # minibatch instead, run_video_retrieval.py:640-666)
+    inference_video_batch_size: int = 4
 
     # device / precision
     seed: int = 42
@@ -228,6 +232,9 @@ class RunConfig:
         assert self.gradient_accumulation_steps >= 1
         assert 0 < self.data_ratio <= 1.0
         assert self.max_img_size > 0
+        assert self.img_input_format in ("BGR", "RGB"), (
+            f"img_input_format must be BGR or RGB, got "
+            f"{self.img_input_format!r}")
         if self.score_agg_func == "lse":
             assert self.loss_type == "ce", (
                 f"lse aggregation requires ce loss, not {self.loss_type}")

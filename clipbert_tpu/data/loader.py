@@ -35,8 +35,8 @@ import numpy as np
 class ShardedBatchSampler:
     """Shuffled epoch order, sharded across hosts, fixed batch size.
 
-    drop_last=True for training (static shapes); eval pads the tail batch
-    via `pad_batch`.
+    drop_last=True for training (static shapes); eval tail batches are
+    replicated (not sharded) by `tasks.common.device_batch`.
     """
 
     def __init__(self, dataset_len: int, batch_size: int, shuffle: bool = True,
@@ -210,18 +210,3 @@ class InfiniteIterator:
             if not yielded:
                 raise RuntimeError("empty loader in InfiniteIterator")
             epoch += 1
-
-
-def pad_batch(batch: Dict[str, np.ndarray], target_size: int,
-              batch_keys: Sequence[str]) -> Dict[str, np.ndarray]:
-    """Pad the leading axis of the given keys to target_size by repeating the
-    last row (static-shape eval tails); returns (batch, n_valid)."""
-    out = dict(batch)
-    n_valid = None
-    for k in batch_keys:
-        v = batch[k]
-        n_valid = len(v)
-        if len(v) < target_size:
-            pad = np.repeat(v[-1:], target_size - len(v), axis=0)
-            out[k] = np.concatenate([v, pad], axis=0)
-    return out, n_valid

@@ -183,8 +183,3 @@ def mk_input_group(key_grouped_examples: Dict, max_n_example_per_group: int = 2,
         out = {e[example_unique_key] for _, exs in input_groups for e in exs}
         assert inp == out, "example grouping dropped examples"
     return input_groups
-
-
-def repeat_rows(arr: np.ndarray, row_repeats: Sequence[int]) -> np.ndarray:
-    """Host-side repeat_tensor_rows (data_utils.py:344-357)."""
-    return np.repeat(arr, np.asarray(row_repeats), axis=0)

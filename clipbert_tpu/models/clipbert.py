@@ -154,6 +154,16 @@ def cnn_forward(p: Params, visual_pixels: jnp.ndarray,
         p, visual_pixels.astype(compute_dtype), stride_in_1x1)
 
 
+def fold_cnn_bn_scales(params: Params) -> Params:
+    """Inference param prep: frozen-BN scales folded into the R50 conv
+    kernels (resnet.fold_bn_scales) — exact, eval-only; see that docstring."""
+    out = dict(params)
+    cnn = dict(params["cnn"])
+    cnn["resnet"] = resnet.fold_bn_scales(cnn["resnet"])
+    out["cnn"] = cnn
+    return out
+
+
 def repeat_for_texts(visual_feats: jnp.ndarray, group_size: int) -> jnp.ndarray:
     """Fan visual features out to the texts grouped with each visual —
     the static-shape equivalent of repeat_tensor_rows (data_utils.py:344-357).

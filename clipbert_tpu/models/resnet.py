@@ -48,7 +48,38 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
 
 
 def frozen_bn(x: jnp.ndarray, bn: Params) -> jnp.ndarray:
-    return x * bn["scale"].astype(x.dtype) + bn["bias"].astype(x.dtype)
+    # params through fold_bn_scales() carry no "scale": the multiply lives
+    # in the conv kernel and the BN collapses to a bias add (inference path)
+    if "scale" in bn:
+        x = x * bn["scale"].astype(x.dtype)
+    return x + bn["bias"].astype(x.dtype)
+
+
+def fold_bn_scales(p: Params) -> Params:
+    """Inference-time transform: per-channel frozen-BN scale folded into the
+    preceding conv kernel (kernel *= scale; BN becomes a bias-only add).
+
+    Mathematically identical to the unfolded forward — conv(x, W)·s + b ==
+    conv(x, W·s) + b — but removes a full-activation multiply per conv
+    (frozen BN never trains, so this is exact for eval; training keeps the
+    unfolded form so checkpoints/optimizer see the reference's geometry).
+    """
+    def fold(node):
+        if not isinstance(node, dict):
+            return node
+        if "kernel" in node and "bn" in node and "scale" in node["bn"]:
+            s = node["bn"]["scale"]
+            return {"kernel": node["kernel"] * s.reshape(1, 1, 1, -1),
+                    "bn": {"bias": node["bn"]["bias"]}}
+        if "conv" in node and "bn" in node and "scale" in node["bn"]:
+            # stem layout: {"conv": {"kernel": ...}, "bn": {...}}
+            s = node["bn"]["scale"]
+            return {"conv": {"kernel":
+                             node["conv"]["kernel"] * s.reshape(1, 1, 1, -1)},
+                    "bn": {"bias": node["bn"]["bias"]}}
+        return {k: ([fold(b) for b in v] if isinstance(v, list) else fold(v))
+                for k, v in node.items()}
+    return fold(p)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,22 @@ def setup_tokenizer(cfg: RunConfig) -> BertTokenizer:
     return BertTokenizer.from_dir(cfg.tokenizer_dir)
 
 
+def pixel_mean_std(cfg: RunConfig):
+    """The configured normalization constants (img_pixel_mean/std,
+    reference config.py:93-96) with the detectron2 caffe-style defaults."""
+    mean = (tuple(cfg.img_pixel_mean) if cfg.img_pixel_mean
+            else transforms.IMAGENET_MEAN_255)
+    std = (tuple(cfg.img_pixel_std) if cfg.img_pixel_std
+           else transforms.IMAGENET_STD_1)
+    return mean, std
+
+
+def compute_dtype_for(cfg: RunConfig):
+    """Compute dtype from the run's mixed-precision policy (core.dtypes)."""
+    from clipbert_tpu.core.dtypes import policy_for
+    return policy_for(cfg.bf16).compute_dtype
+
+
 def setup_store(path: str):
     return open_store(path)
 
@@ -53,9 +69,15 @@ def build_eval_loader(dataset, collate_fn, cfg: RunConfig, batch_size=None):
                              num_workers=cfg.n_workers)
 
 
-def device_batch(batch: Dict, mesh, mean=transforms.IMAGENET_MEAN_255,
-                 std=transforms.IMAGENET_STD_1, compute_dtype=None):
+def device_batch(batch: Dict, mesh, mean=None, std=None, compute_dtype=None,
+                 cfg: Optional[RunConfig] = None):
     import jax.numpy as jnp
+    if cfg is not None:
+        cfg_mean, cfg_std = pixel_mean_std(cfg)
+        mean = mean or cfg_mean
+        std = std or cfg_std
+    mean = mean or transforms.IMAGENET_MEAN_255
+    std = std or transforms.IMAGENET_STD_1
     compute_dtype = compute_dtype or jnp.bfloat16
     n_data = mesh.shape["data"]
     dev = {}
@@ -102,4 +124,8 @@ def load_inference_params(cfg: RunConfig, model_cfg: ModelConfig,
         cfg.replace(e2e_weights_path=path, backbone_weights_path=None,
                     bert_weights_path=None),
         model_cfg, head_type)
+    # inference-only param prep: frozen-BN scales fold into conv kernels
+    # (exact; saves a full-activation multiply per conv on the hot path)
+    from clipbert_tpu.models import clipbert
+    params = clipbert.fold_cnn_bn_scales(params)
     return params, step

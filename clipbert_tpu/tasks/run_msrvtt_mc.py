@@ -15,7 +15,6 @@ from typing import Dict
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from clipbert_tpu.core.config import RunConfig, inject_task_attrs, load_run_config
 from clipbert_tpu.core.mesh import make_mesh
@@ -41,7 +40,7 @@ def inference_mc(cfg: RunConfig, model_cfg, params,
                                   batch_size=cfg.inference_batch_size)
     preds = {}
     for batch in dl:
-        dev, host = common.device_batch(batch, mesh,
+        dev, host = common.device_batch(batch, mesh, cfg=cfg,
                                         compute_dtype=compute_dtype)
         out = eval_fn(params, dev)
         logits = np.asarray(out["logits"])  # (B_v*5, num_labels)
@@ -69,7 +68,7 @@ def start_inference(cfg: RunConfig):
     cfg.num_labels = 2 if cfg.loss_type == "ce" else 1
     model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
     mesh = make_mesh()
-    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    compute_dtype = common.compute_dtype_for(cfg)
     params, step = common.load_inference_params(cfg, model_cfg, "retrieval")
 
     txt = cfg.inference_txt_db

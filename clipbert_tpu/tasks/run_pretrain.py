@@ -15,7 +15,6 @@ from typing import Dict
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from clipbert_tpu.core.config import (RunConfig, inject_task_attrs,
                                       load_run_config)
@@ -80,7 +79,7 @@ def build_validate(cfg: RunConfig, val_loaders, mesh, compute_dtype):
             loss_sum = 0.0
             n_batches = 0
             for batch in dl:
-                dev, _host = common.device_batch(batch, mesh,
+                dev, _host = common.device_batch(batch, mesh, cfg=cfg,
                                                  compute_dtype=compute_dtype)
                 res = eval_fn(params, dev)
                 if "mlm_scores" in res and "mlm_labels" in dev:
@@ -118,7 +117,7 @@ def start_training(cfg: RunConfig):
     tokenizer = common.setup_tokenizer(cfg)
     model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
     mesh = make_mesh()
-    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    compute_dtype = common.compute_dtype_for(cfg)
 
     train_loaders = {}
     ratios = {}
@@ -133,13 +132,14 @@ def start_training(cfg: RunConfig):
     meta_loader = loader.MetaLoader(
         train_loaders, ratios=ratios,
         accum_steps=cfg.gradient_accumulation_steps, seed=cfg.seed)
-    # engine consumes plain batches; MetaLoader yields (task, batch)
-    batches_only = (batch for _task, batch in iter(meta_loader))
+    # the engine keeps the MetaLoader's (task, batch) pairing so per-task
+    # loss meters/TB scalars match the reference (run_pretrain.py:384-395)
 
     spec = trainer.TaskSpec(
         name="pretrain", head_type="pretrain",
         settings=make_task_settings(cfg),
-        train_loader=batches_only, steps_per_epoch=steps_per_epoch)
+        train_loader=meta_loader, steps_per_epoch=steps_per_epoch,
+        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1])
 
     if cfg.val_datasets:
         val_loaders = {}

@@ -17,7 +17,6 @@ from typing import Dict
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from clipbert_tpu.core.config import (RunConfig, inject_task_attrs,
                                       load_run_config)
@@ -89,7 +88,7 @@ def build_validate(cfg: RunConfig, val_ds: VideoQADataset, val_loader, mesh,
     def validate(params, eval_fn) -> Dict:
         results = []
         for batch in val_loader:
-            dev, host = common.device_batch(batch, mesh,
+            dev, host = common.device_batch(batch, mesh, cfg=cfg,
                                             compute_dtype=compute_dtype)
             out = eval_fn(params, dev)
             preds = np.asarray(out["logits"]).argmax(-1)
@@ -111,7 +110,7 @@ def start_training(cfg: RunConfig):
     cfg = derive_task_attrs(cfg, ans2label)
     model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
     mesh = make_mesh()
-    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    compute_dtype = common.compute_dtype_for(cfg)
 
     tspec = cfg.train_datasets[0]
     train_ds = build_dataset(cfg, build_groups(cfg, tspec.txt_paths(cfg.task), True),
@@ -125,7 +124,8 @@ def start_training(cfg: RunConfig):
         name=f"video_qa/{cfg.task}",
         head_type="multi_choice" if cfg.task in MC_TASKS else "seq_cls",
         settings=make_task_settings(cfg, cfg.train_n_clips),
-        train_loader=train_loader, steps_per_epoch=steps_per_epoch)
+        train_loader=train_loader, steps_per_epoch=steps_per_epoch,
+        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1])
 
     if cfg.val_datasets:
         vspec = cfg.val_datasets[0]
@@ -152,7 +152,7 @@ def start_inference(cfg: RunConfig):
     cfg = derive_task_attrs(cfg, ans2label)
     model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
     mesh = make_mesh()
-    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    compute_dtype = common.compute_dtype_for(cfg)
     head = "multi_choice" if cfg.task in MC_TASKS else "seq_cls"
     params, step = common.load_inference_params(cfg, model_cfg, head)
 

@@ -68,7 +68,7 @@ def start_training(cfg: RunConfig):
     cfg.num_labels = 2 if cfg.loss_type == "ce" else 1
     model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
     mesh = make_mesh()
-    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    compute_dtype = common.compute_dtype_for(cfg)
 
     tspec = cfg.train_datasets[0]
     groups = build_train_datalist(cfg, tspec.txt_paths())
@@ -85,7 +85,8 @@ def start_training(cfg: RunConfig):
     spec = trainer.TaskSpec(
         name="video_retrieval", head_type="retrieval",
         settings=make_task_settings(cfg),
-        train_loader=train_loader, steps_per_epoch=steps_per_epoch)
+        train_loader=train_loader, steps_per_epoch=steps_per_epoch,
+        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1])
 
     if cfg.val_datasets:
         vspec = cfg.val_datasets[0]
@@ -103,9 +104,6 @@ def start_training(cfg: RunConfig):
     return trainer.train(cfg, model_cfg, spec, mesh=mesh)
 
 
-VIDEO_EVAL_BATCH = 4  # videos whose cached features are scored together
-
-
 def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
                         eval_ds: VideoRetrievalEvalDataset, mesh,
                         compute_dtype) -> Dict:
@@ -114,7 +112,8 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
     Scores use the softmax positive-class probability for ce heads and
     sigmoid for rank heads (run_video_retrieval.py:679-682), pooled over
     clips by cfg.score_agg_func. Videos are decoded by a threaded prefetch
-    loader and scored VIDEO_EVAL_BATCH at a time — (videos x clips x texts)
+    loader and scored cfg.inference_video_batch_size at a time —
+    (videos x clips x texts)
     fold into one BERT batch.
     """
     ts = steps.TaskSettings(
@@ -150,7 +149,7 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
     nf = eval_ds.num_frm
     my_videos = list(range(dist.process_index(), len(eval_ds),
                            dist.process_count()))
-    vb = max(1, VIDEO_EVAL_BATCH)
+    vb = max(1, cfg.inference_video_batch_size)
 
     def video_batches():
         """Threaded decode of the next video batch while scoring this one."""
@@ -169,9 +168,10 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
     for group, vis in video_batches():
         # vis: (vb, n_clips*nf, S, S, 3) uint8 -> (vb*nc, nf, S, S, 3)
         nc = vis.shape[1] // nf
+        mean, std = common.pixel_mean_std(cfg)
         pixels = transforms.normalize_pixels(
             jnp.asarray(vis.reshape(vb * nc, nf, *vis.shape[2:])),
-            compute_dtype=compute_dtype)
+            mean, std, compute_dtype=compute_dtype)
         feats = encode_fn(params, pixels)         # cached once per video
         feats = feats.reshape((vb, nc) + feats.shape[1:])
         scores = np.zeros((vb, n_caps), np.float32)
@@ -211,7 +211,7 @@ def start_inference(cfg: RunConfig):
     cfg.num_labels = 2 if cfg.loss_type == "ce" else 1
     model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
     mesh = make_mesh()
-    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    compute_dtype = common.compute_dtype_for(cfg)
     params, step = common.load_inference_params(cfg, model_cfg, "retrieval")
 
     txt = cfg.inference_txt_db or cfg.val_datasets[0].txt_paths()[0]

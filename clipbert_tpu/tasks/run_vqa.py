@@ -16,7 +16,6 @@ from typing import Dict, List
 
 import numpy as np
 
-import jax.numpy as jnp
 
 from clipbert_tpu.core.config import (RunConfig, inject_task_attrs,
                                       load_run_config)
@@ -58,7 +57,7 @@ def build_validate(cfg: RunConfig, val_ds: VQADataset, val_loader, mesh,
     def validate(params, eval_fn) -> Dict:
         results = []
         for batch in val_loader:
-            dev, host = common.device_batch(batch, mesh,
+            dev, host = common.device_batch(batch, mesh, cfg=cfg,
                                             compute_dtype=compute_dtype)
             out = eval_fn(params, dev)
             logits = np.asarray(out["logits"])
@@ -81,7 +80,7 @@ def start_training(cfg: RunConfig):
     cfg.num_labels = len(ans2label)
     model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
     mesh = make_mesh()
-    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    compute_dtype = common.compute_dtype_for(cfg)
 
     tspec = cfg.train_datasets[0]
     train_groups = build_datalist(tspec.txt_paths(), cfg.data_ratio, True,
@@ -107,7 +106,8 @@ def start_training(cfg: RunConfig):
         name="vqa", head_type="seq_cls",
         settings=make_task_settings(cfg),
         train_loader=train_loader, steps_per_epoch=steps_per_epoch,
-        validate_fn=None)
+        validate_fn=None,
+        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1])
     # validation runs with group_size=1 settings -> its own eval step
     val_settings = make_task_settings(cfg, is_train=False)
     val_eval_fn = steps.make_eval_step(model_cfg, val_settings, mesh=mesh,
@@ -125,7 +125,7 @@ def start_inference(cfg: RunConfig):
     cfg.num_labels = len(ans2label)
     model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
     mesh = make_mesh()
-    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    compute_dtype = common.compute_dtype_for(cfg)
 
     params, step = common.load_inference_params(cfg, model_cfg, "seq_cls")
     txt = cfg.inference_txt_db or cfg.val_datasets[0].txt_paths()[0]

@@ -116,7 +116,9 @@ def setup_model(run_cfg: RunConfig, model_cfg: ModelConfig, head_type: str,
         if any("/" in k for k in flat):     # our own flattened format
             params, report = checkpoint.load_with_mismatch(params, flat)
         else:                               # reference torch e2e state_dict
-            imported = import_torch_e2e(flat, model_cfg, head_type)
+            imported = import_torch_e2e(
+                flat, model_cfg, head_type,
+                bgr_checkpoint=run_cfg.img_input_format == "BGR")
             params, report = checkpoint.load_with_mismatch(
                 params, checkpoint.flatten_tree(imported))
         LOGGER.info(f"e2e load report: missing={len(report['missing'])} "
@@ -126,10 +128,11 @@ def setup_model(run_cfg: RunConfig, model_cfg: ModelConfig, head_type: str,
             LOGGER.info(
                 f"Loading cnn weights from {run_cfg.backbone_weights_path}")
             flat = _load_flat_ckpt(run_cfg.backbone_weights_path)
+            bgr = run_cfg.img_input_format == "BGR"
             if any(k.startswith(("layer1", "conv1")) for k in flat):
                 cnn = torch_import.import_resnet50_torchvision(flat)
             else:
-                cnn = torch_import.import_resnet50_d2(flat)
+                cnn = torch_import.import_resnet50_d2(flat, bgr_checkpoint=bgr)
             params["cnn"]["resnet"] = jax.tree.map(np.asarray, cnn)
         if run_cfg.bert_weights_path:
             LOGGER.info(f"Loading bert weights from {run_cfg.bert_weights_path}")
@@ -149,7 +152,7 @@ def setup_model(run_cfg: RunConfig, model_cfg: ModelConfig, head_type: str,
 
 
 def import_torch_e2e(flat: Dict[str, np.ndarray], cfg: ModelConfig,
-                     head_type: str) -> Dict:
+                     head_type: str, bgr_checkpoint: bool = True) -> Dict:
     """Reference e2e `model_step_N.pt` state_dict -> our full pytree.
     Key scheme: cnn.backbone..., cnn.grid_encoder..., transformer.bert...,
     transformer.classifier/cls... (e2e_model.py:13-27)."""
@@ -157,7 +160,8 @@ def import_torch_e2e(flat: Dict[str, np.ndarray], cfg: ModelConfig,
     bert_sd = torch_import.strip_prefix(flat, "transformer.bert.")
     out: Dict = {
         "cnn": {
-            "resnet": torch_import.import_resnet50_d2(cnn_sd),
+            "resnet": torch_import.import_resnet50_d2(
+                cnn_sd, bgr_checkpoint=bgr_checkpoint),
             "grid_encoder": torch_import.import_grid_encoder(cnn_sd),
         },
         "transformer": {
@@ -219,7 +223,8 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
     # empty lr_mul prefix the corresponding "top" groups are legally empty
     assert set(groups) <= set(range(-1, 8)), f"bad group ids: {groups}"
 
-    compute_dtype = jnp.bfloat16 if run_cfg.bf16 else jnp.float32
+    from clipbert_tpu.core.dtypes import policy_for
+    compute_dtype = policy_for(run_cfg.bf16).compute_dtype
     step_fn = steps.make_train_step(
         model_cfg, spec.settings, oc, ss, meta, mesh=mesh,
         accum_steps=run_cfg.gradient_accumulation_steps,
@@ -262,36 +267,58 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
 
     last_loss = float("nan")
 
+    task_meters: Dict[str, RunningMeter] = {}
+
     def consume(pending):
         """Fetch a finished step's metrics (delayed one step so the host
         never blocks the device pipeline on a per-step round-trip)."""
         nonlocal last_loss
-        gs, metrics = pending
+        gs, metrics, task = pending
         last_loss = float(metrics["loss"])   # device sync point
         timer.stop()
         running(last_loss)
         tb.step()
-        tb.log_scalar_dict({"train_loss": last_loss,
-                            "grad_norm": float(metrics["grad_norm"]),
-                            "lr": float(metrics["lr"]),
-                            "cnn_lr": float(metrics["cnn_lr"])}, "train")
+        scalars = {"train_loss": last_loss,
+                   "grad_norm": float(metrics["grad_norm"]),
+                   "lr": float(metrics["lr"]),
+                   "cnn_lr": float(metrics["cnn_lr"])}
+        if task is not None:
+            # per-task loss meters, as the reference's task2loss RunningMeters
+            # (run_pretrain.py:384-395)
+            meter = task_meters.setdefault(
+                task, RunningMeter(f"loss_{task}"))
+            meter(last_loss)
+            scalars[f"loss_{task}"] = last_loss
+        tb.log_scalar_dict(scalars, "train")
 
     accum = run_cfg.gradient_accumulation_steps
+
+    def next_task_batch(it):
+        """Loader items are host batches, or (task_name, batch) pairs from a
+        MetaLoader (multi-dataset pretrain keeps task identity for logging)."""
+        item = next(it)
+        if isinstance(item, tuple) and len(item) == 2 \
+                and isinstance(item[0], str):
+            return item
+        return None, item
 
     pending = None
     train_iter = iter(spec.train_loader)
     while global_step < num_train_steps:
         trace.maybe_start(global_step)
         if accum == 1:
-            batch = _to_device_batch(next(train_iter), mesh, spec,
-                                     compute_dtype)
+            task, host_batch = next_task_batch(train_iter)
+            batch = _to_device_batch(host_batch, mesh, spec, compute_dtype)
         else:
             # one update consumes `accum` loader batches (the reference's
             # delay-unscale window, run_pretrain.py:398-404); micro-batches
             # are stacked on a leading axis and scanned inside the jitted step
-            micros = [_to_device_batch(next(train_iter), mesh, spec,
-                                       compute_dtype)
-                      for _ in range(accum)]
+            # (the MetaLoader repeats one task across the whole accum window,
+            # dataloader.py:44-46, so the first micro's task names the step)
+            pairs = [next_task_batch(train_iter) for _ in range(accum)]
+            task = pairs[0][0]
+            micros = [_to_device_batch(b, mesh, spec, compute_dtype)
+                      for _, b in pairs]
             batch = jax.tree.map(lambda *xs: jnp.stack(xs), *micros)
         step_key = jax.random.fold_in(root_key, global_step)
         timer.start()
@@ -300,7 +327,7 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
 
         if pending is not None:
             consume(pending)
-        pending = (global_step, metrics)
+        pending = (global_step, metrics, task)
         trace.maybe_stop(global_step)
 
         sync_point = (global_step % valid_steps == 0
@@ -342,7 +369,8 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
         consume(pending)
     trace.close()
     return {"params": state.params, "global_step": global_step,
-            "history": history, "state": state}
+            "history": history, "state": state,
+            "task_loss": {t: m.val for t, m in task_meters.items()}}
 
 
 def _to_device_batch(batch: Dict, mesh, spec: TaskSpec, compute_dtype):

@@ -60,3 +60,39 @@ def test_restore_inference_config_keeps_inference_keys():
     assert merged.inference_n_clips == 16       # inference_* kept live
     assert merged.output_dir == "/out"          # output_dir kept live
     assert merged.do_inference is True          # kept live
+
+
+def test_pixel_knobs_wired():
+    """img_pixel_mean/std flow into normalization; img_input_format is
+    validated (reference config.py:93-96 via detectron2)."""
+    import numpy as np
+    import pytest
+    from clipbert_tpu.core.config import RunConfig
+    from clipbert_tpu.tasks import common
+
+    cfg = RunConfig(img_pixel_mean=[1.0, 2.0, 3.0],
+                    img_pixel_std=[2.0, 2.0, 2.0])
+    mean, std = common.pixel_mean_std(cfg)
+    assert mean == (1.0, 2.0, 3.0) and std == (2.0, 2.0, 2.0)
+    # defaults: detectron2 caffe-style BGR means, unit std
+    dmean, dstd = common.pixel_mean_std(RunConfig())
+    assert dmean == (123.675, 116.28, 103.53) and dstd == (1.0, 1.0, 1.0)
+
+    from clipbert_tpu.data import transforms
+    px = np.full((1, 1, 2, 2, 3), 7, np.uint8)
+    out = np.asarray(transforms.normalize_pixels(px, mean, std))
+    np.testing.assert_allclose(out[..., 0], (7 - 1.0) / 2.0, rtol=1e-2)
+    np.testing.assert_allclose(out[..., 2], (7 - 3.0) / 2.0, rtol=1e-2)
+
+    with pytest.raises(AssertionError):
+        RunConfig(img_input_format="YUV").validate()
+    RunConfig(img_input_format="RGB").validate()
+
+
+def test_inference_video_batch_size_survives_restore():
+    from clipbert_tpu.core.config import RunConfig
+    live = RunConfig(inference_video_batch_size=16)
+    merged = live.restore_from_training_args(
+        {"inference_video_batch_size": 4, "train_batch_size": 8})
+    assert merged.inference_video_batch_size == 16
+    assert merged.train_batch_size == 8

@@ -208,7 +208,7 @@ def test_meta_loader_ratio():
     assert 0.65 < frac_a < 0.85
 
 
-def test_infinite_iterator_and_pad_batch():
+def test_infinite_iterator():
     class L:
         def __init__(self):
             self.sampler = loader.ShardedBatchSampler(4, 2, shuffle=False)
@@ -218,12 +218,6 @@ def test_infinite_iterator_and_pad_batch():
 
     it = iter(loader.InfiniteIterator(L()))
     assert [next(it) for _ in range(5)] == [1, 2, 1, 2, 1]
-
-    batch = {"x": np.arange(6).reshape(3, 2), "y": ["a"]}
-    padded, n = loader.pad_batch(batch, 5, ["x"])
-    assert n == 3
-    assert padded["x"].shape == (5, 2)
-    assert (padded["x"][3] == padded["x"][2]).all()
 
 
 def test_ingest_cli(tmp_path):

@@ -46,3 +46,26 @@ def test_pallas_resnet_matches_xla(rng_np):
     b = resnet.resnet50_forward(p, x, use_pallas=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_fused_stem_pool_matches_xla_stem(rng_np):
+    """Pallas fused stem (conv7x7/s2 + BN + relu + maxpool3x3/s2) is exact
+    vs the XLA stem path, across shapes incl. non-square and band counts."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.models import resnet
+    from clipbert_tpu.ops import pallas_stem
+
+    for shape in [(2, 64, 64, 3), (1, 48, 80, 3), (2, 32, 32, 3)]:
+        x = jnp.asarray(rng_np.standard_normal(shape), jnp.float32)
+        k = jnp.asarray(rng_np.standard_normal((7, 7, 3, 64)) * 0.05,
+                        jnp.float32)
+        scale = jnp.asarray(0.5 + rng_np.random(64), jnp.float32)
+        bias = jnp.asarray(rng_np.standard_normal(64), jnp.float32)
+        h = resnet.conv2d(x, k, 2, [(3, 3), (3, 3)])
+        h = jax.nn.relu(h * scale + bias)
+        ref = resnet.max_pool(h, 3, 2, [(0, 0), (1, 1), (1, 1), (0, 0)])
+        wp = jnp.asarray(pallas_stem.pack_stem_weights(k, scale))
+        got = pallas_stem.fused_stem_pool(x, wp, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)

@@ -186,3 +186,63 @@ def test_resnet_forward_s2d_matches_plain(rng_np):
     b = resnet.resnet50_forward(p, x, stem_s2d=True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fold_bn_scales_exact(rng_np):
+    """Folded params (kernel*scale, bias-only BN) reproduce the unfolded
+    forward — the inference-path param prep must be numerically exact."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.models import resnet
+    p = resnet.init_resnet50(jax.random.key(5))
+    # non-trivial scales/biases everywhere (init leaves scale=1)
+    def randomize(node):
+        if isinstance(node, dict):
+            if "scale" in node and "bias" in node:
+                c = node["scale"].shape[0]
+                return {"scale": jnp.asarray(
+                            0.5 + rng_np.random(c), jnp.float32),
+                        "bias": jnp.asarray(
+                            rng_np.standard_normal(c), jnp.float32)}
+            return {k: randomize(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [randomize(b) for b in node]
+        return node
+    p = randomize(p)
+    x = jnp.asarray(rng_np.standard_normal((1, 64, 64, 3)), jnp.float32)
+    ref = resnet.resnet50_forward(p, x)
+    pf = resnet.fold_bn_scales(p)
+    # every BN lost its scale leaf
+    leaves = jax.tree.leaves(pf)
+    assert len(leaves) < len(jax.tree.leaves(p))
+    got = resnet.resnet50_forward(pf, x)
+    # identical in exact arithmetic; fp32 rounding compounds over 53 convs
+    # and the randomized scales, so tolerate ~1e-3 of the output scale
+    scale = float(np.abs(np.asarray(ref)).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3 * scale)
+
+
+def test_fold_cnn_bn_scales_model_level(rng_np):
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.core.config import ModelConfig
+    from clipbert_tpu.models import clipbert
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=64,
+                      max_grid_row_position_embeddings=8,
+                      max_grid_col_position_embeddings=8,
+                      num_labels=2, loss_type="ce")
+    params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
+    batch = {"text_input_ids": jnp.zeros((1, 8), jnp.int32),
+             "text_input_mask": jnp.ones((1, 8), jnp.int32),
+             "visual_inputs": jnp.asarray(
+                 rng_np.standard_normal((1, 2, 64, 64, 3)), jnp.float32)}
+    ref = clipbert.clipbert_forward(params, cfg, batch, "retrieval",
+                                    compute_dtype=jnp.float32)["logits"]
+    pf = clipbert.fold_cnn_bn_scales(params)
+    got = clipbert.clipbert_forward(pf, cfg, batch, "retrieval",
+                                    compute_dtype=jnp.float32)["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

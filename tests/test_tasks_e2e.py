@@ -204,16 +204,24 @@ def test_msrvtt_mc_inference(workspace):
 
 
 def test_pretrain_end_to_end(workspace):
+    """Two-dataset MetaLoader pretrain: per-task loss observability
+    (reference task2loss meters, run_pretrain.py:384-395) + validation."""
     from clipbert_tpu.tasks import run_pretrain
     root = workspace["root"]
     rows = [{"img_id": f"img{i % 12}", "txt": f"a cat sits {i}"}
             for i in range(16)]
     ann = root / "cap.jsonl"
     write_jsonl(ann, rows)
+    rows_vg = [{"img_id": f"img{i % 12}", "txt": f"a dog runs {i}"}
+               for i in range(16)]
+    ann_vg = root / "cap_vg.jsonl"
+    write_jsonl(ann_vg, rows_vg)
 
     cfg = base_cfg(workspace, "pretrain_out",
                    train_datasets=[
                        DatasetSpec(name="coco", txt=str(ann),
+                                   img=workspace["img_store"], ratio=1.0),
+                       DatasetSpec(name="vg", txt=str(ann_vg),
                                    img=workspace["img_store"], ratio=1.0)],
                    val_datasets=[DatasetSpec(name="coco", txt=str(ann),
                                              img=workspace["img_store"])],
@@ -223,6 +231,10 @@ def test_pretrain_end_to_end(workspace):
     assert result["global_step"] == 3
     val = result["history"][-1]["val"]
     assert "coco_mlm_acc" in val and "coco_itm_acc" in val
+    # every step is attributed to a named task and metered separately
+    assert result["task_loss"], "per-task loss meters missing"
+    assert set(result["task_loss"]) <= {"coco", "vg"}
+    assert all(np.isfinite(v) for v in result["task_loss"].values())
 
 
 def test_pretrain_grad_accumulation(workspace):
