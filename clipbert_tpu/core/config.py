@@ -136,6 +136,10 @@ class RunConfig:
     img_pixel_mean: Optional[List[float]] = None
     img_pixel_std: Optional[List[float]] = None
     img_input_format: str = "BGR"
+    # True: datasets emit native-size frames and resize/pad/normalize run
+    # on-device in one jitted MXU program (transforms.resize_pad_normalize);
+    # False: host torch resize, the reference transform kept as parity oracle.
+    device_preprocess: bool = True
     max_n_example_per_group: int = 2
 
     # video sampling

@@ -52,12 +52,18 @@ class BaseDataset:
     def __init__(self, datalist: List, tokenizer: BertTokenizer,
                  media_store: MediaStore, fps: float = 3, num_frm: int = 3,
                  frm_sampling_strategy: str = "rand", max_img_size: int = 448,
-                 max_txt_len: int = 20, seed: int = 0):
+                 max_txt_len: int = 20, seed: int = 0,
+                 device_preprocess: bool = False):
         self.datalist = datalist
         self.tokenizer = tokenizer
         self.store = media_store
         self.fps = fps
         self.num_frm = num_frm
+        # device_preprocess=True: emit NATIVE-size frames (+ "vis_hw") and
+        # leave resize/pad/normalize to the jitted device path
+        # (transforms.resize_pad_normalize); False: host torch resize + pad
+        # here, exactly the reference transform (dataset_base.py:207-275).
+        self.device_preprocess = device_preprocess
         self.frm_sampling_strategy = frm_sampling_strategy
         self.max_img_size = max_img_size
         self.max_txt_len = max_txt_len
@@ -92,6 +98,8 @@ class BaseDataset:
             arr = np.asarray(img.convert("RGB"), np.uint8)[None]  # (1,H,W,3)
         except Exception:
             return None
+        if self.device_preprocess:
+            return arr
         arr = transforms.resize_frames(arr, self.max_img_size)
         return transforms.pad_frames(arr, self.max_img_size, self.max_img_size)
 
@@ -113,6 +121,8 @@ class BaseDataset:
             return None
         if transforms.is_extreme_aspect_ratio(frames.shape[1], frames.shape[2]):
             return None
+        if self.device_preprocess:
+            return frames
         frames = transforms.resize_frames(frames, self.max_img_size)
         return transforms.pad_frames(frames, self.max_img_size,
                                      self.max_img_size)
@@ -137,6 +147,17 @@ class BaseDataset:
             prev = c
             clips.append(c)
         return np.concatenate(clips, axis=0)
+
+    def vis_item(self, arr: np.ndarray) -> Dict[str, Any]:
+        """Item-dict visual fields: {"vis"} host-preprocessed, or
+        {"vis", "vis_hw"} native — vis_hw = [h, w, new_h, new_w] with the
+        resize target computed HERE (host float math) so the int truncation
+        is bit-identical to the reference (data_utils.py:166-197)."""
+        if not self.device_preprocess:
+            return {"vis": arr}
+        h, w = int(arr.shape[1]), int(arr.shape[2])
+        nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
+        return {"vis": arr, "vis_hw": np.array([h, w, nh, nw], np.int32)}
 
     def _retry_indices(self, index: int, n: int = 3, rng=None):
         """index then random resamples (dataset_pretrain.py:46-59)."""
@@ -175,7 +196,7 @@ class PretrainDataset(BaseDataset):
             raise RuntimeError(f"failed to load visual for index {index}")
         out_examples = [self._get_single_example(e, idx, rng)
                         for e in examples]
-        return {"vis": arr, "examples": out_examples}
+        return {**self.vis_item(arr), "examples": out_examples}
 
     def _get_single_example(self, data, index, rng):
         if self.use_itm and rng.random() < self.itm_neg_prob:
@@ -208,7 +229,9 @@ class PretrainCollator:
         self._calls = itertools.count()  # GIL-atomic; collate runs in threads
 
     def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
-        visual = np.stack([d["vis"] for d in batch])  # (B_v, T, S, S, 3)
+        # (B_v, T, S, S, 3), or a native-size bucket + src_hw for the
+        # device resize path (transforms.collate_visual)
+        visual, src_hw = transforms.collate_visual(batch)
         examples = flat_list_of_lists([d["examples"] for d in batch])
         enc = self.tokenizer.batch_encode(
             [e["text_str"] for e in examples], self.max_length)
@@ -232,6 +255,8 @@ class PretrainCollator:
         }
         if mlm_labels is not None:
             out["mlm_labels"] = mlm_labels.astype(np.int32)
+        if src_hw is not None:
+            out["visual_src_hw"] = src_hw
         return out
 
 
@@ -266,7 +291,7 @@ class VideoRetrievalTrainDataset(BaseDataset):
             for _ in range(self.itm_neg_size):
                 sampled.append({"text_str": self._random_negative(idx, rng),
                                 "itm_label": 0})
-        return {"vis": arr, "examples": sampled}
+        return {**self.vis_item(arr), "examples": sampled}
 
     def _random_negative(self, gt_index: int, rng) -> str:
         gt_id, _ = self.datalist[gt_index]
@@ -286,7 +311,7 @@ class RetrievalCollator:
         self.max_length = max_length
 
     def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
-        visual = np.stack([d["vis"] for d in batch])
+        visual, src_hw = transforms.collate_visual(batch)
         examples = flat_list_of_lists([d["examples"] for d in batch])
         enc = self.tokenizer.batch_encode(
             [e["text_str"] for e in examples], self.max_length)
@@ -295,6 +320,8 @@ class RetrievalCollator:
             "text_input_ids": enc["input_ids"],
             "text_input_mask": enc["attention_mask"],
         }
+        if src_hw is not None:
+            out["visual_src_hw"] = src_hw
         if "itm_label" in examples[0]:
             out["labels"] = np.asarray([e["itm_label"] for e in examples],
                                        np.int32)
@@ -339,7 +366,7 @@ class VideoRetrievalEvalDataset(BaseDataset):
                                           random_clips=False,
                                           prev_clip_fallback=True)
         assert arr is not None, f"failed to decode eval video {vid_id}"
-        return {"vis": arr, "vid_id": vid_id}
+        return {**self.vis_item(arr), "vid_id": vid_id}
 
     def gt_matrix(self) -> np.ndarray:
         """(n_videos, n_captions) bool ground-truth matrix."""
@@ -366,7 +393,7 @@ class MSRVTTMCEvalDataset(BaseDataset):
                                           random_clips=False,
                                           prev_clip_fallback=True)
         assert arr is not None, f"failed to decode video {item['vid_id']}"
-        return {"vis": arr,
+        return {**self.vis_item(arr),
                 "examples": [{"text_str": o, "question_id": item["id"]}
                              for o in item["options"]]}
 
@@ -444,7 +471,7 @@ class VideoQADataset(BaseDataset):
             if not self.return_label:
                 ex["label"] = -1
             out.append(ex)
-        return {"vis": arr, "examples": out}
+        return {**self.vis_item(arr), "examples": out}
 
     def evaluate_tgif_qa(self, results: List[Dict]) -> Dict:
         """results: [{"question_id", "answer"(idx)}] (dataset_video_qa.py:131-183)."""
@@ -480,17 +507,20 @@ class VideoQACollator:
         self.max_length = max_length
 
     def __call__(self, batch: List[Dict]) -> Dict[str, np.ndarray]:
-        visual = np.stack([d["vis"] for d in batch])
+        visual, src_hw = transforms.collate_visual(batch)
         examples = flat_list_of_lists([d["examples"] for d in batch])
         texts = flat_list_of_lists([e["texts"] for e in examples])
         enc = self.tokenizer.batch_encode(texts, self.max_length)
-        return {
+        out = {
             "visual_inputs": visual,
             "text_input_ids": enc["input_ids"],
             "text_input_mask": enc["attention_mask"],
             "labels": np.asarray([e["label"] for e in examples], np.int32),
             "question_ids": [e["question_id"] for e in examples],
         }
+        if src_hw is not None:
+            out["visual_src_hw"] = src_hw
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -519,7 +549,7 @@ class VQADataset(BaseDataset):
             if "labels" in e and e["labels"] is not None:
                 ex["label"] = self.vqa_targets(e["labels"])
             out.append(ex)
-        return {"vis": arr, "examples": out}
+        return {**self.vis_item(arr), "examples": out}
 
     def vqa_targets(self, ans2score: Dict[str, float]) -> np.ndarray:
         """Soft target scatter (dataset_vqa.py:57-72)."""

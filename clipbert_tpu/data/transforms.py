@@ -19,11 +19,13 @@ into the stem conv's input.
 
 from __future__ import annotations
 
+import functools
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 # ---------------------------------------------------------------------------
@@ -141,6 +143,113 @@ def normalize_pixels(frames: jnp.ndarray,
         x = x / 255.0
     x = (x - mean_a) / std_a
     return x.astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# device-resident resize + pad + normalize (inside jit)
+# ---------------------------------------------------------------------------
+#
+# TPU-first formulation: bilinear resize is two small matmuls per frame,
+#   out = R_h @ frame @ R_w^T
+# where R_h (S, Hbuf) / R_w (S, Wbuf) are per-item interpolation matrices
+# built IN-JIT from dynamic source sizes (arrays, not shapes) — so one
+# compiled program serves every video resolution that shares a physical
+# buffer bucket. Rows past the per-item resize target are all-zero, which
+# realizes the reference's bottom/right zero-pad (data_utils.py:112-160)
+# for free. The contraction runs on the MXU; there are no gathers and no
+# data-dependent shapes. The reference keeps frames as FLOAT after resize
+# (dataset_base.py:207-275: .float() -> interpolate -> pad -> GPU ImageNorm),
+# so this float-through path matches its semantics more closely than the
+# host path above (which re-rounds to uint8 to cheapen the H2D transfer).
+
+
+def _resize_weights(src, new, out_size: int, buf_size: int) -> jnp.ndarray:
+    """(B,) int src sizes + (B,) int resize targets -> (B, out_size, buf_size)
+    fp32 bilinear weights with torch `interpolate(..., align_corners=False)`
+    semantics (half-pixel centers, lower clamp to 0, edge replicate at the
+    top end), zero rows for i >= new (the pad region)."""
+    srcf = src.astype(jnp.float32)[:, None]
+    newf = new.astype(jnp.float32)[:, None]
+    i = jnp.arange(out_size, dtype=jnp.float32)[None, :]
+    pos = (i + 0.5) * (srcf / newf) - 0.5
+    pos = jnp.clip(pos, 0.0, srcf - 1.0)          # (B, out)
+    k = jnp.arange(buf_size, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, :, None] - k[None, None, :]))
+    return jnp.where((i < newf)[:, :, None], w, 0.0)
+
+
+def resize_pad_normalize(frames: jnp.ndarray, src_hw: jnp.ndarray,
+                         out_size: int,
+                         mean: Sequence[float] = IMAGENET_MEAN_255,
+                         std: Sequence[float] = IMAGENET_STD_1,
+                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Device resize (longer side -> out_size) + zero-pad + ImageNorm.
+
+    frames: (B, T, Hbuf, Wbuf, 3) uint8 — native-size frames packed into a
+        per-batch buffer bucket (see `collate_visual`).
+    src_hw: (B, 4) int32 — [native_h, native_w, new_h, new_w] per item; the
+        resize targets are host-computed by `get_resize_size` so the int
+        truncation is bit-identical to the reference (data_utils.py:166-197).
+    Returns (B, T, out_size, out_size, 3) in compute_dtype, normalized.
+    """
+    B, T, Hb, Wb, C = frames.shape
+    rh = _resize_weights(src_hw[:, 0], src_hw[:, 2], out_size, Hb)
+    rw = _resize_weights(src_hw[:, 1], src_hw[:, 3], out_size, Wb)
+    x = frames.astype(jnp.float32)
+    # fp32 MXU contractions: parity beats speed here and the FLOPs are tiny
+    # next to the model (~1 GFLOP/frame at 448^2).
+    x = jnp.einsum("bih,bthwc->btiwc", rh, x, precision="highest")
+    x = jnp.einsum("bjw,btiwc->btijc", rw, x, precision="highest")
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+    if max(mean) <= 1.0:
+        x = x / 255.0
+    x = (x - mean_a) / std_a
+    return x.astype(compute_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _preprocess_jit(out_size: int, mean: tuple, std: tuple, dtype_name: str):
+    dtype = jnp.dtype(dtype_name)
+    return jax.jit(functools.partial(resize_pad_normalize, out_size=out_size,
+                                     mean=mean, std=std,
+                                     compute_dtype=dtype))
+
+
+def device_preprocess(frames, src_hw, out_size: int, mean=IMAGENET_MEAN_255,
+                      std=IMAGENET_STD_1, compute_dtype=jnp.bfloat16):
+    """Jitted entry: one compiled program per (bucket shape, out_size).
+    Inputs may be host numpy or committed (sharded) device arrays; output
+    sharding follows the batch axis."""
+    fn = _preprocess_jit(int(out_size), tuple(mean), tuple(std),
+                         jnp.dtype(compute_dtype).name)
+    return fn(frames, src_hw)
+
+
+_BUCKET = 64   # buffer rounding granularity: bounds preprocess recompiles
+
+
+def collate_visual(batch: List[Dict]) -> Tuple[np.ndarray,
+                                               Optional[np.ndarray]]:
+    """Stack per-item visuals for a batch.
+
+    Host-preprocessed items ({"vis": (T,S,S,3)}) stack directly. Native
+    items ({"vis": (T,H,W,3), "vis_hw": (4,) int32}) are packed into a
+    zero buffer bucket (max size rounded up to 64) for the device resize
+    path; returns (buffer, (B,4) src_hw) in that case, else (stack, None).
+    """
+    if "vis_hw" not in batch[0]:
+        return np.stack([d["vis"] for d in batch]), None
+    vis = [d["vis"] for d in batch]
+    hw = np.stack([d["vis_hw"] for d in batch]).astype(np.int32)
+    Hb = -(-max(v.shape[1] for v in vis) // _BUCKET) * _BUCKET
+    Wb = -(-max(v.shape[2] for v in vis) // _BUCKET) * _BUCKET
+    T = vis[0].shape[0]
+    buf = np.zeros((len(vis), T, Hb, Wb, vis[0].shape[3]), vis[0].dtype)
+    for i, v in enumerate(vis):
+        assert v.shape[0] == T, "clip count must be uniform within a batch"
+        buf[i, :, :v.shape[1], :v.shape[2]] = v
+    return buf, hw
 
 
 # ---------------------------------------------------------------------------

@@ -147,18 +147,31 @@ def bottleneck(x: jnp.ndarray, p: Params, stride: int,
     # for strided 3x3 convs while torch pads (1, 1), shifting the grid.
     s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
     pad3 = [(dilation, dilation), (dilation, dilation)]
-    out = jax.nn.relu(frozen_bn(
-        conv2d(x, p["conv1"]["kernel"], s1, padding="VALID"), p["conv1"]["bn"]))
+    sc = x
+    if "shortcut" in p and s1 == stride:
+        # conv1 and the shortcut are 1x1 convs over the SAME input at the
+        # same stride: run them as ONE conv with concatenated output
+        # channels — exact, reads the stage input from HBM once instead of
+        # twice and tiles the MXU at width cmid+cout instead of cmid
+        cmid = p["conv1"]["kernel"].shape[-1]
+        merged = jnp.concatenate(
+            [p["conv1"]["kernel"], p["shortcut"]["kernel"]], axis=-1)
+        both = conv2d(x, merged, stride, padding="VALID")
+        out = jax.nn.relu(frozen_bn(both[..., :cmid], p["conv1"]["bn"]))
+        sc = frozen_bn(both[..., cmid:], p["shortcut"]["bn"])
+    else:
+        out = jax.nn.relu(frozen_bn(
+            conv2d(x, p["conv1"]["kernel"], s1, padding="VALID"),
+            p["conv1"]["bn"]))
+        if "shortcut" in p:
+            sc = frozen_bn(
+                conv2d(x, p["shortcut"]["kernel"], stride, padding="VALID"),
+                p["shortcut"]["bn"])
     out = jax.nn.relu(frozen_bn(
         conv2d(out, p["conv2"]["kernel"], s2, padding=pad3, dilation=dilation),
         p["conv2"]["bn"]))
     out = frozen_bn(conv2d(out, p["conv3"]["kernel"], 1, padding="VALID"),
                     p["conv3"]["bn"])
-    if "shortcut" in p:
-        sc = frozen_bn(conv2d(x, p["shortcut"]["kernel"], stride, padding="VALID"),
-                       p["shortcut"]["bn"])
-    else:
-        sc = x
     return jax.nn.relu(out + sc)
 
 

@@ -91,7 +91,13 @@ def device_batch(batch: Dict, mesh, mean=None, std=None, compute_dtype=None,
                 dev[k] = jax.device_put(v)
         else:
             host[k] = v
-    if "visual_inputs" in dev:
+    if "visual_src_hw" in dev:
+        # native-size frames: jitted device resize + pad + normalize
+        assert cfg is not None, "device preprocess path needs cfg.max_img_size"
+        dev["visual_inputs"] = transforms.device_preprocess(
+            dev["visual_inputs"], dev.pop("visual_src_hw"),
+            cfg.max_img_size, mean, std, compute_dtype)
+    elif "visual_inputs" in dev:
         dev["visual_inputs"] = transforms.normalize_pixels(
             dev["visual_inputs"], mean, std, compute_dtype)
     return dev, host

@@ -33,7 +33,7 @@ def inference_mc(cfg: RunConfig, model_cfg, params,
         head_type="retrieval", num_labels=cfg.num_labels,
         loss_type=cfg.loss_type, score_agg_func=cfg.score_agg_func,
         train_n_clips=cfg.inference_n_clips, group_size=5)
-    eval_fn = steps.make_eval_step(model_cfg, ts, mesh=mesh,
+    eval_fn = steps.make_eval_step(model_cfg, ts,
                                    compute_dtype=compute_dtype)
     coll = datasets.RetrievalCollator(ds.tokenizer, cfg.max_txt_len)
     dl = common.build_eval_loader(ds, coll, cfg,
@@ -77,7 +77,8 @@ def start_inference(cfg: RunConfig):
     ds = MSRVTTMCEvalDataset(
         raw, tokenizer, common.setup_store(img), fps=cfg.fps,
         num_frm=cfg.num_frm, max_img_size=cfg.max_img_size,
-        max_txt_len=cfg.max_txt_len, ensemble_n_clips=cfg.inference_n_clips)
+        max_txt_len=cfg.max_txt_len, ensemble_n_clips=cfg.inference_n_clips,
+        device_preprocess=cfg.device_preprocess)
     metrics = inference_mc(cfg, model_cfg, params, ds, mesh, compute_dtype)
     if dist.is_main_process() and cfg.output_dir:
         save_json({k: v for k, v in metrics.items() if k != "preds"},

@@ -57,7 +57,8 @@ def build_one_loader(spec, cfg: RunConfig, tokenizer, is_train: bool):
         num_frm=cfg.num_frm, frm_sampling_strategy=cfg.frm_sampling_strategy,
         max_img_size=cfg.max_img_size, max_txt_len=cfg.max_txt_len,
         itm_neg_prob=cfg.itm_neg_prob if is_train else 0.5,
-        use_itm=cfg.use_itm, vis_format=vis_format, seed=cfg.seed)
+        use_itm=cfg.use_itm, vis_format=vis_format, seed=cfg.seed,
+        device_preprocess=cfg.device_preprocess)
     coll = PretrainCollator(tokenizer, mlm=cfg.use_mlm,
                             max_length=cfg.max_txt_len, is_train=is_train,
                             seed=cfg.seed)
@@ -139,7 +140,8 @@ def start_training(cfg: RunConfig):
         name="pretrain", head_type="pretrain",
         settings=make_task_settings(cfg),
         train_loader=meta_loader, steps_per_epoch=steps_per_epoch,
-        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1])
+        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1],
+        max_img_size=cfg.max_img_size)
 
     if cfg.val_datasets:
         val_loaders = {}
@@ -151,7 +153,7 @@ def start_training(cfg: RunConfig):
             head_type="pretrain", use_mlm=cfg.use_mlm, use_itm=cfg.use_itm,
             group_size=1)
         val_eval = steps.make_pretrain_eval_step(
-            model_cfg, val_settings, mesh=mesh, compute_dtype=compute_dtype)
+            model_cfg, val_settings, compute_dtype=compute_dtype)
         validate = build_validate(cfg, val_loaders, mesh, compute_dtype)
         spec.validate_fn = lambda params, _e: validate(params, val_eval)
 

@@ -80,7 +80,7 @@ def build_dataset(cfg: RunConfig, groups, tokenizer, store, ans2label,
         max_img_size=cfg.max_img_size, max_txt_len=cfg.max_txt_len,
         ensemble_n_clips=n_clips, is_train=is_train,
         random_sample_clips=cfg.random_sample_clips, n_options=N_OPTIONS,
-        seed=cfg.seed)
+        seed=cfg.seed, device_preprocess=cfg.device_preprocess)
 
 
 def build_validate(cfg: RunConfig, val_ds: VideoQADataset, val_loader, mesh,
@@ -125,7 +125,8 @@ def start_training(cfg: RunConfig):
         head_type="multi_choice" if cfg.task in MC_TASKS else "seq_cls",
         settings=make_task_settings(cfg, cfg.train_n_clips),
         train_loader=train_loader, steps_per_epoch=steps_per_epoch,
-        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1])
+        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1],
+        max_img_size=cfg.max_img_size)
 
     if cfg.val_datasets:
         vspec = cfg.val_datasets[0]
@@ -136,7 +137,7 @@ def start_training(cfg: RunConfig):
             val_ds, datasets.VideoQACollator(tokenizer, cfg.max_txt_len), cfg)
         val_eval = steps.make_eval_step(
             model_cfg, make_task_settings(cfg, cfg.inference_n_clips),
-            mesh=mesh, compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype)
         validate = build_validate(cfg, val_ds, val_loader, mesh,
                                   compute_dtype)
         spec.validate_fn = lambda params, _e: validate(params, val_eval)
@@ -167,7 +168,7 @@ def start_inference(cfg: RunConfig):
         batch_size=cfg.inference_batch_size)
     eval_fn = steps.make_eval_step(
         model_cfg, make_task_settings(cfg, cfg.inference_n_clips),
-        mesh=mesh, compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype)
     metrics = build_validate(cfg, ds, dl, mesh, compute_dtype)(params, eval_fn)
     if dist.is_main_process() and cfg.output_dir:
         save_json({k: v for k, v in metrics.items() if k != "results"},

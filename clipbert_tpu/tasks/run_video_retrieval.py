@@ -77,7 +77,8 @@ def start_training(cfg: RunConfig):
         num_frm=cfg.num_frm, frm_sampling_strategy=cfg.frm_sampling_strategy,
         max_img_size=cfg.max_img_size, max_txt_len=cfg.max_txt_len,
         itm_neg_size=cfg.itm_neg_size, ensemble_n_clips=cfg.train_n_clips,
-        random_sample_clips=cfg.random_sample_clips, seed=cfg.seed)
+        random_sample_clips=cfg.random_sample_clips, seed=cfg.seed,
+        device_preprocess=cfg.device_preprocess)
     train_loader, steps_per_epoch = common.build_train_loader(
         train_ds, datasets.RetrievalCollator(tokenizer, cfg.max_txt_len),
         cfg, mesh)
@@ -86,7 +87,8 @@ def start_training(cfg: RunConfig):
         name="video_retrieval", head_type="retrieval",
         settings=make_task_settings(cfg),
         train_loader=train_loader, steps_per_epoch=steps_per_epoch,
-        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1])
+        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1],
+        max_img_size=cfg.max_img_size)
 
     if cfg.val_datasets:
         vspec = cfg.val_datasets[0]
@@ -97,7 +99,8 @@ def start_training(cfg: RunConfig):
             val_raw, tokenizer, common.setup_store(vspec.img), fps=cfg.fps,
             num_frm=cfg.num_frm, max_img_size=cfg.max_img_size,
             max_txt_len=cfg.max_txt_len,
-            ensemble_n_clips=cfg.inference_n_clips)
+            ensemble_n_clips=cfg.inference_n_clips,
+            device_preprocess=cfg.device_preprocess)
         spec.validate_fn = lambda params, _e: inference_retrieval(
             cfg, model_cfg, params, val_ds, mesh, compute_dtype)
 
@@ -157,21 +160,28 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
         groups = [my_videos[i:i + vb] for i in range(0, len(my_videos), vb)]
 
         def load(group):
-            return group, np.stack([eval_ds[v]["vis"] for v in group
-                                    ] + [eval_ds[group[-1]]["vis"]
-                                         ] * (vb - len(group)))
+            items = [eval_ds[v] for v in group]
+            items += [items[-1]] * (vb - len(group))   # tail pad, no re-decode
+            return (group,) + transforms.collate_visual(items)
 
         with ThreadPoolExecutor(max(2, cfg.n_workers)) as pool:
             yield from pool.map(load, groups)
 
     rows = []  # (video_idx, scores (n_caps,))
-    for group, vis in video_batches():
-        # vis: (vb, n_clips*nf, S, S, 3) uint8 -> (vb*nc, nf, S, S, 3)
+    for group, vis, src_hw in video_batches():
+        # vis: (vb, n_clips*nf, S, S, 3) uint8 -> (vb*nc, nf, S, S, 3);
+        # native-size batches go through the jitted device resize instead
         nc = vis.shape[1] // nf
         mean, std = common.pixel_mean_std(cfg)
-        pixels = transforms.normalize_pixels(
-            jnp.asarray(vis.reshape(vb * nc, nf, *vis.shape[2:])),
-            mean, std, compute_dtype=compute_dtype)
+        if src_hw is not None:
+            pixels = transforms.device_preprocess(
+                jnp.asarray(vis), jnp.asarray(src_hw), cfg.max_img_size,
+                mean, std, compute_dtype)
+            pixels = pixels.reshape((vb * nc, nf) + pixels.shape[2:])
+        else:
+            pixels = transforms.normalize_pixels(
+                jnp.asarray(vis.reshape(vb * nc, nf, *vis.shape[2:])),
+                mean, std, compute_dtype=compute_dtype)
         feats = encode_fn(params, pixels)         # cached once per video
         feats = feats.reshape((vb, nc) + feats.shape[1:])
         scores = np.zeros((vb, n_caps), np.float32)
@@ -222,7 +232,8 @@ def start_inference(cfg: RunConfig):
     ds = VideoRetrievalEvalDataset(
         raw, tokenizer, common.setup_store(img), fps=cfg.fps,
         num_frm=cfg.num_frm, max_img_size=cfg.max_img_size,
-        max_txt_len=cfg.max_txt_len, ensemble_n_clips=cfg.inference_n_clips)
+        max_txt_len=cfg.max_txt_len, ensemble_n_clips=cfg.inference_n_clips,
+        device_preprocess=cfg.device_preprocess)
     m = inference_retrieval(cfg, model_cfg, params, ds, mesh, compute_dtype)
     if dist.is_main_process() and cfg.output_dir:
         out = {k: v for k, v in m.items() if k != "score_matrix"}

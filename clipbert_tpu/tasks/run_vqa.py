@@ -88,7 +88,8 @@ def start_training(cfg: RunConfig):
     train_ds = VQADataset(train_groups, tokenizer,
                           common.setup_store(tspec.img),
                           ans2label=ans2label, max_img_size=cfg.max_img_size,
-                          max_txt_len=cfg.max_txt_len, seed=cfg.seed)
+                          max_txt_len=cfg.max_txt_len, seed=cfg.seed,
+                          device_preprocess=cfg.device_preprocess)
     train_loader, steps_per_epoch = common.build_train_loader(
         train_ds, datasets.RetrievalCollator(tokenizer, cfg.max_txt_len),
         cfg, mesh)
@@ -98,7 +99,8 @@ def start_training(cfg: RunConfig):
                                 cfg.seed)
     val_ds = VQADataset(val_groups, tokenizer, common.setup_store(vspec.img),
                         ans2label=ans2label, max_img_size=cfg.max_img_size,
-                        max_txt_len=cfg.max_txt_len, seed=cfg.seed)
+                        max_txt_len=cfg.max_txt_len, seed=cfg.seed,
+                        device_preprocess=cfg.device_preprocess)
     val_loader = common.build_eval_loader(
         val_ds, datasets.RetrievalCollator(tokenizer, cfg.max_txt_len), cfg)
 
@@ -107,10 +109,11 @@ def start_training(cfg: RunConfig):
         settings=make_task_settings(cfg),
         train_loader=train_loader, steps_per_epoch=steps_per_epoch,
         validate_fn=None,
-        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1])
+        mean=common.pixel_mean_std(cfg)[0], std=common.pixel_mean_std(cfg)[1],
+        max_img_size=cfg.max_img_size)
     # validation runs with group_size=1 settings -> its own eval step
     val_settings = make_task_settings(cfg, is_train=False)
-    val_eval_fn = steps.make_eval_step(model_cfg, val_settings, mesh=mesh,
+    val_eval_fn = steps.make_eval_step(model_cfg, val_settings,
                                        compute_dtype=compute_dtype)
     validate = build_validate(cfg, val_ds, val_loader, mesh, compute_dtype)
     spec.validate_fn = lambda params, _unused: validate(params, val_eval_fn)
@@ -134,12 +137,13 @@ def start_inference(cfg: RunConfig):
                             1.0, False, 1, cfg.seed)
     ds = VQADataset(groups, tokenizer, common.setup_store(img),
                     ans2label=ans2label, max_img_size=cfg.max_img_size,
-                    max_txt_len=cfg.max_txt_len)
+                    max_txt_len=cfg.max_txt_len,
+                    device_preprocess=cfg.device_preprocess)
     dl = common.build_eval_loader(
         ds, datasets.RetrievalCollator(tokenizer, cfg.max_txt_len), cfg,
         batch_size=cfg.inference_batch_size)
     eval_fn = steps.make_eval_step(
-        model_cfg, make_task_settings(cfg, is_train=False), mesh=mesh,
+        model_cfg, make_task_settings(cfg, is_train=False),
         compute_dtype=compute_dtype)
     metrics = build_validate(cfg, ds, dl, mesh, compute_dtype)(params, eval_fn)
     if dist.is_main_process() and cfg.output_dir:

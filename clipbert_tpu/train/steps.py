@@ -345,7 +345,6 @@ def make_train_step(cfg: ModelConfig, ts: TaskSettings, oc: OptimConfig,
 
 
 def make_eval_step(cfg: ModelConfig, ts: TaskSettings,
-                   mesh: Optional[Mesh] = None,
                    compute_dtype=jnp.bfloat16) -> Callable:
     """Forward-only step: (params, batch) -> {pooled logits, per-clip logits}."""
 
@@ -361,7 +360,6 @@ def make_eval_step(cfg: ModelConfig, ts: TaskSettings,
 
 
 def make_pretrain_eval_step(cfg: ModelConfig, ts: TaskSettings,
-                            mesh: Optional[Mesh] = None,
                             compute_dtype=jnp.bfloat16) -> Callable:
     """Validation forward for pretraining: returns mlm/itm scores + losses."""
 

@@ -52,6 +52,7 @@ class TaskSpec:
     # keys of the batch that are labels/inputs to move to device
     mean: tuple = transforms.IMAGENET_MEAN_255
     std: tuple = transforms.IMAGENET_STD_1
+    max_img_size: int = 448       # device-preprocess resize target
 
 
 def optim_config_from_run(cfg: RunConfig) -> optim.OptimConfig:
@@ -229,10 +230,10 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
         model_cfg, spec.settings, oc, ss, meta, mesh=mesh,
         accum_steps=run_cfg.gradient_accumulation_steps,
         compute_dtype=compute_dtype)
-    eval_fn = steps.make_eval_step(model_cfg, spec.settings, mesh=mesh,
+    eval_fn = steps.make_eval_step(model_cfg, spec.settings,
                                    compute_dtype=compute_dtype) \
         if spec.head_type != "pretrain" else \
-        steps.make_pretrain_eval_step(model_cfg, spec.settings, mesh=mesh,
+        steps.make_pretrain_eval_step(model_cfg, spec.settings,
                                       compute_dtype=compute_dtype)
 
     state = steps.init_train_state(params)
@@ -386,7 +387,14 @@ def _to_device_batch(batch: Dict, mesh, spec: TaskSpec, compute_dtype):
             dev[k] = jax.device_put(v, data_shard(mesh))
         elif hasattr(v, "dtype"):       # already on device (PrefetchLoader)
             dev[k] = v
-    if "visual_inputs" in dev and dev["visual_inputs"].dtype == jnp.uint8:
+    if "visual_src_hw" in dev:
+        # native-size frames: jitted device resize + pad + normalize gives
+        # the train step its static (B, T, S, S, 3) shape regardless of the
+        # per-batch buffer bucket
+        dev["visual_inputs"] = transforms.device_preprocess(
+            dev["visual_inputs"], dev.pop("visual_src_hw"),
+            spec.max_img_size, spec.mean, spec.std, compute_dtype)
+    elif "visual_inputs" in dev and dev["visual_inputs"].dtype == jnp.uint8:
         dev["visual_inputs"] = transforms.normalize_pixels(
             dev["visual_inputs"], spec.mean, spec.std, compute_dtype)
     return dev
