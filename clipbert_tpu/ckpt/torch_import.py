@@ -234,3 +234,69 @@ def import_grid_encoder(sd: Dict[str, np.ndarray],
                         prefix: str = "grid_encoder") -> Dict:
     """grid_encoder nn.Sequential: {prefix}.0 = conv3x3 (grid_feat.py:43-48)."""
     return {"conv": {"kernel": _conv_kernel(sd[f"{prefix}.0.weight"])}}
+
+
+# ---------------------------------------------------------------------------
+# TF-1 BERT checkpoints (the reference's load_tf_weights_in_bert,
+# /root/reference/src/modeling/transformers.py:64-137)
+# ---------------------------------------------------------------------------
+
+def tf_bert_to_torch_sd(tf_flat: Dict[str, np.ndarray]
+                        ) -> Dict[str, np.ndarray]:
+    """TF-1 BERT variable names/layouts -> torch-style state_dict.
+
+    Pure renaming + the reference's layout rules (transformers.py:104-131):
+    optimizer slots dropped, `kernel` (in,out) transposed to torch (out,in),
+    gamma/beta -> weight/bias, `output_{weights,bias}` -> weight/bias,
+    embedding tables get a `.weight` suffix. The result feeds the same
+    import_bert_* functions as a torch checkpoint, so both paths share one
+    tested structure mapping.
+    """
+    out = {}
+    for name, arr in tf_flat.items():
+        if any(s in name for s in
+               ("adam_v", "adam_m", "AdamWeightDecayOptimizer", "global_step",
+                "LAMB", "bad_steps", "loss_scale", "good_steps")):
+            continue                         # transformers.py:94-101
+        n = name
+        if n.startswith("bert/"):
+            n = n[len("bert/"):]
+        n = n.replace("layer_", "layer.").replace("/", ".")
+        n = n.replace(".gamma", ".weight").replace(".beta", ".bias")
+        if n.endswith(".kernel"):
+            n = n[:-len("kernel")] + "weight"
+            arr = np.ascontiguousarray(np.asarray(arr).T)
+        elif n.endswith(".output_weights"):  # cls.seq_relationship: (2, D)
+            n = n[:-len("output_weights")] + "weight"
+        elif n.endswith(".output_bias"):
+            n = n[:-len("output_bias")] + "bias"
+        elif n.endswith(("word_embeddings", "position_embeddings",
+                         "token_type_embeddings")):
+            n = n + ".weight"
+        out[n] = np.asarray(arr)
+    return out
+
+
+def load_tf_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Read every variable of a TF checkpoint (needs tensorflow, like the
+    reference path, transformers.py:79-84)."""
+    import tensorflow as tf  # gated: only TF-checkpoint users need it
+    reader = tf.train.load_checkpoint(path)
+    return {name: reader.get_tensor(name)
+            for name in reader.get_variable_to_shape_map()}
+
+
+def import_bert_tf(path_or_flat, num_layers: int) -> Dict:
+    """TF-1 BERT checkpoint -> our {embeddings, encoder, pooler[, cls]}
+    pytree (the reference's `from_tf=True` load path)."""
+    flat = (path_or_flat if isinstance(path_or_flat, dict)
+            else load_tf_checkpoint(path_or_flat))
+    sd = tf_bert_to_torch_sd(flat)
+    out = {
+        "embeddings": import_bert_text_embeddings(sd),
+        "encoder": import_bert_encoder(sd, num_layers),
+        "pooler": import_bert_pooler(sd),
+    }
+    if "cls.predictions.bias" in sd:
+        out["cls"] = import_pretraining_heads(sd)
+    return out

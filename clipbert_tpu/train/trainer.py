@@ -103,6 +103,12 @@ def _load_flat_ckpt(path: str) -> Dict[str, np.ndarray]:
             for k, v in sd.items()}
 
 
+def _is_tf_checkpoint(path: str) -> bool:
+    """TF-1 checkpoint: a `<prefix>.index` file (given directly or implied)."""
+    return (path.endswith(".index") or os.path.exists(path + ".index")
+            or ".ckpt" in os.path.basename(path))
+
+
 def setup_model(run_cfg: RunConfig, model_cfg: ModelConfig, head_type: str,
                 seed: Optional[int] = None):
     """Init params; then e2e weights OR separate cnn/bert weights, each via
@@ -137,14 +143,27 @@ def setup_model(run_cfg: RunConfig, model_cfg: ModelConfig, head_type: str,
             params["cnn"]["resnet"] = jax.tree.map(np.asarray, cnn)
         if run_cfg.bert_weights_path:
             LOGGER.info(f"Loading bert weights from {run_cfg.bert_weights_path}")
-            flat = _load_flat_ckpt(run_cfg.bert_weights_path)
-            flat = {k.removeprefix("bert."): v for k, v in flat.items()}
-            bert_tree = {
-                "embeddings": torch_import.import_bert_text_embeddings(flat),
-                "encoder": torch_import.import_bert_encoder(
-                    flat, model_cfg.num_hidden_layers),
-                "pooler": torch_import.import_bert_pooler(flat),
-            }
+            bp = run_cfg.bert_weights_path
+            if _is_tf_checkpoint(bp):
+                # TF-1 BERT checkpoint (the reference's from_tf load,
+                # transformers.py:64-137)
+                bert_tree = torch_import.import_bert_tf(
+                    bp.removesuffix(".index"), model_cfg.num_hidden_layers)
+                cls_tree = bert_tree.pop("cls", None)
+                if cls_tree is not None and "cls" in params["transformer"]:
+                    merged, _ = checkpoint.load_with_mismatch(
+                        params["transformer"]["cls"],
+                        checkpoint.flatten_tree(cls_tree))
+                    params["transformer"]["cls"] = merged
+            else:
+                flat = _load_flat_ckpt(bp)
+                flat = {k.removeprefix("bert."): v for k, v in flat.items()}
+                bert_tree = {
+                    "embeddings": torch_import.import_bert_text_embeddings(flat),
+                    "encoder": torch_import.import_bert_encoder(
+                        flat, model_cfg.num_hidden_layers),
+                    "pooler": torch_import.import_bert_pooler(flat),
+                }
             merged, _ = checkpoint.load_with_mismatch(
                 params["transformer"]["bert"],
                 checkpoint.flatten_tree(bert_tree))
