@@ -43,6 +43,12 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     With ``model_parallel == 1`` this is pure data parallelism: every chip
     holds a full replica and grads are psum'd over the `data` axis.
     """
+    # every runner (train AND inference) builds a mesh: latch the persistent
+    # XLA compile cache here so repeat inference runs don't pay the
+    # minutes-long full-model recompile (measured: it dominated the
+    # end-to-end data-plane benchmark before this)
+    from clipbert_tpu.core import compile_cache
+    compile_cache.enable()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     assert n % model_parallel == 0, (n, model_parallel)

@@ -182,7 +182,8 @@ def resize_pad_normalize(frames: jnp.ndarray, src_hw: jnp.ndarray,
                          out_size: int,
                          mean: Sequence[float] = IMAGENET_MEAN_255,
                          std: Sequence[float] = IMAGENET_STD_1,
-                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                         compute_dtype=jnp.bfloat16,
+                         exact: bool = False) -> jnp.ndarray:
     """Device resize (longer side -> out_size) + zero-pad + ImageNorm.
 
     frames: (B, T, Hbuf, Wbuf, 3) uint8 — native-size frames packed into a
@@ -191,15 +192,30 @@ def resize_pad_normalize(frames: jnp.ndarray, src_hw: jnp.ndarray,
         resize targets are host-computed by `get_resize_size` so the int
         truncation is bit-identical to the reference (data_utils.py:166-197).
     Returns (B, T, out_size, out_size, 3) in compute_dtype, normalized.
+
+    exact=False (production): single-pass bf16 MXU contractions with fp32
+    accumulation. uint8 pixel values are exactly representable in bf16;
+    only the interpolation weights round (<=0.4%), bounding the error at
+    ~1 pixel unit — the same order as the bf16 cast every model input
+    undergoes anyway, and comparable to the reference host path's uint8
+    re-rounding. exact=True (parity oracle / tests): fp32-highest, which
+    costs ~6x the MXU passes — measured to dominate the whole data plane
+    if used in production (scripts/bench_dataplane.py).
     """
     B, T, Hb, Wb, C = frames.shape
     rh = _resize_weights(src_hw[:, 0], src_hw[:, 2], out_size, Hb)
     rw = _resize_weights(src_hw[:, 1], src_hw[:, 3], out_size, Wb)
-    x = frames.astype(jnp.float32)
-    # fp32 MXU contractions: parity beats speed here and the FLOPs are tiny
-    # next to the model (~1 GFLOP/frame at 448^2).
-    x = jnp.einsum("bih,bthwc->btiwc", rh, x, precision="highest")
-    x = jnp.einsum("bjw,btiwc->btijc", rw, x, precision="highest")
+    if exact:
+        x = frames.astype(jnp.float32)
+        x = jnp.einsum("bih,bthwc->btiwc", rh, x, precision="highest")
+        x = jnp.einsum("bjw,btiwc->btijc", rw, x, precision="highest")
+    else:
+        x = frames.astype(jnp.bfloat16)
+        x = jnp.einsum("bih,bthwc->btiwc", rh.astype(jnp.bfloat16), x,
+                       preferred_element_type=jnp.float32
+                       ).astype(jnp.bfloat16)
+        x = jnp.einsum("bjw,btiwc->btijc", rw.astype(jnp.bfloat16), x,
+                       preferred_element_type=jnp.float32)
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)
     if max(mean) <= 1.0:
@@ -209,20 +225,22 @@ def resize_pad_normalize(frames: jnp.ndarray, src_hw: jnp.ndarray,
 
 
 @functools.lru_cache(maxsize=None)
-def _preprocess_jit(out_size: int, mean: tuple, std: tuple, dtype_name: str):
+def _preprocess_jit(out_size: int, mean: tuple, std: tuple, dtype_name: str,
+                    exact: bool):
     dtype = jnp.dtype(dtype_name)
     return jax.jit(functools.partial(resize_pad_normalize, out_size=out_size,
                                      mean=mean, std=std,
-                                     compute_dtype=dtype))
+                                     compute_dtype=dtype, exact=exact))
 
 
 def device_preprocess(frames, src_hw, out_size: int, mean=IMAGENET_MEAN_255,
-                      std=IMAGENET_STD_1, compute_dtype=jnp.bfloat16):
+                      std=IMAGENET_STD_1, compute_dtype=jnp.bfloat16,
+                      exact: bool = False):
     """Jitted entry: one compiled program per (bucket shape, out_size).
     Inputs may be host numpy or committed (sharded) device arrays; output
     sharding follows the batch axis."""
     fn = _preprocess_jit(int(out_size), tuple(mean), tuple(std),
-                         jnp.dtype(compute_dtype).name)
+                         jnp.dtype(compute_dtype).name, bool(exact))
     return fn(frames, src_hw)
 
 

@@ -32,9 +32,16 @@ def multi_head_attention(
     B, L, D = hidden.shape
     head_dim = D // num_heads
 
-    q = linear(hidden, params["query"]).reshape(B, L, num_heads, head_dim)
-    k = linear(hidden, params["key"]).reshape(B, L, num_heads, head_dim)
-    v = linear(hidden, params["value"]).reshape(B, L, num_heads, head_dim)
+    # one fused (D -> 3D) projection: reads the activations from HBM once
+    # instead of three times and tiles the MXU 3x wider; column-block
+    # concatenation makes it bit-identical to separate Q/K/V matmuls
+    w = jnp.concatenate([params["query"]["kernel"], params["key"]["kernel"],
+                         params["value"]["kernel"]], axis=1)
+    b = jnp.concatenate([params["query"]["bias"], params["key"]["bias"],
+                         params["value"]["bias"]])
+    qkv = (hidden @ w.astype(hidden.dtype)) + b.astype(hidden.dtype)
+    q, k, v = (t.reshape(B, L, num_heads, head_dim)
+               for t in jnp.split(qkv, 3, axis=-1))
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)

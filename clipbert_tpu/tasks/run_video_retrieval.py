@@ -162,7 +162,14 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
         def load(group):
             items = [eval_ds[v] for v in group]
             items += [items[-1]] * (vb - len(group))   # tail pad, no re-decode
-            return (group,) + transforms.collate_visual(items)
+            vis, src_hw = transforms.collate_visual(items)
+            # start the H2D transfer from the worker thread so it overlaps
+            # the scoring of the previous group (host->device bandwidth is
+            # the binding constraint on tunneled/remote TPU hosts)
+            vis = jax.device_put(vis)
+            if src_hw is not None:
+                src_hw = jax.device_put(src_hw)
+            return group, vis, src_hw
 
         with ThreadPoolExecutor(max(2, cfg.n_workers)) as pool:
             yield from pool.map(load, groups)

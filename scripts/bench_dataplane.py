@@ -68,6 +68,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from clipbert_tpu.core import compile_cache
+    compile_cache.enable()
     from clipbert_tpu.core.config import ModelConfig, RunConfig
     from clipbert_tpu.core.mesh import make_mesh
     from clipbert_tpu.data.datasets import VideoRetrievalEvalDataset

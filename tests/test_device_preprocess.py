@@ -55,9 +55,14 @@ def test_resize_pad_normalize_matches_torch(hw):
     buf[0, :, :h, :w] = frames
     src_hw = np.array([[h, w, nh, nw]], np.int32)
     got = np.asarray(transforms.device_preprocess(
-        buf, src_hw, S, compute_dtype=jnp.float32))[0]
-
+        buf, src_hw, S, compute_dtype=jnp.float32, exact=True))[0]
     np.testing.assert_allclose(got, ref, atol=2e-2, rtol=0)
+
+    # production fast path (bf16 single-pass): bounded by ~1 pixel unit,
+    # the same order as the model's own bf16 input cast
+    fast = np.asarray(transforms.device_preprocess(
+        buf, src_hw, S, compute_dtype=jnp.float32))[0]
+    assert np.max(np.abs(fast - got)) <= 1.5
 
 
 def test_identity_resize_is_exact():
@@ -92,7 +97,7 @@ def test_host_and_device_paths_agree_within_rounding():
     buf[0, :, :h, :w] = frames
     dev_out = np.asarray(transforms.device_preprocess(
         buf, np.array([[h, w, nh, nw]], np.int32), S,
-        compute_dtype=jnp.float32))[0]
+        compute_dtype=jnp.float32, exact=True))[0]
 
     assert np.max(np.abs(dev_out - host_out)) <= 0.51
 
