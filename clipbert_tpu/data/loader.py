@@ -118,11 +118,17 @@ class PrefetchLoader:
     """Wraps a loader: moves batches to device (sharded) one step ahead so
     host->device transfer overlaps compute (the reference's side-stream
     prefetch, dataloader.py:86-152). Yields dicts whose array values are
-    device arrays (non-array metadata passes through untouched)."""
+    device arrays (non-array metadata passes through untouched).
 
-    def __init__(self, loader, mesh=None):
+    ``preprocess_fn`` (optional) maps the device batch right after the
+    transfer is issued — used to DISPATCH the jitted resize/normalize for
+    batch N+1 while step N is still executing on device (jax dispatch is
+    async), so preprocess never sits on the critical path."""
+
+    def __init__(self, loader, mesh=None, preprocess_fn=None):
         self.loader = loader
         self.mesh = mesh
+        self.preprocess_fn = preprocess_fn
 
     @property
     def sampler(self):
@@ -141,6 +147,8 @@ class PrefetchLoader:
                     out[k] = jax.device_put(v)
             else:
                 out[k] = v
+        if self.preprocess_fn is not None:
+            out = self.preprocess_fn(out)
         return out
 
     def __len__(self):

@@ -47,6 +47,30 @@ def load_model_config(cfg: RunConfig, **overrides) -> ModelConfig:
     return ModelConfig.from_json(cfg.model_config, **overrides)
 
 
+def make_batch_preprocess(cfg: RunConfig):
+    """Batch hook for PrefetchLoader: dispatch the jitted device
+    resize/pad/normalize (or plain normalize) as soon as the transfer is
+    issued, one batch ahead of the consuming step."""
+    import jax.numpy as jnp
+    mean, std = pixel_mean_std(cfg)
+    compute_dtype = compute_dtype_for(cfg)
+
+    def fn(batch: Dict) -> Dict:
+        if "visual_src_hw" in batch:
+            batch = dict(batch)
+            batch["visual_inputs"] = transforms.device_preprocess(
+                batch["visual_inputs"], batch.pop("visual_src_hw"),
+                cfg.max_img_size, mean, std, compute_dtype)
+        elif ("visual_inputs" in batch
+              and batch["visual_inputs"].dtype == jnp.uint8):
+            batch = dict(batch)
+            batch["visual_inputs"] = transforms.normalize_pixels(
+                batch["visual_inputs"], mean, std, compute_dtype)
+        return batch
+
+    return fn
+
+
 def build_train_loader(dataset, collate_fn, cfg: RunConfig,
                        mesh=None):
     sampler = loader.ShardedBatchSampler(
@@ -55,8 +79,10 @@ def build_train_loader(dataset, collate_fn, cfg: RunConfig,
         process_count=dist.process_count(), drop_last=True)
     dl = loader.DataLoader(dataset, sampler, collate_fn,
                            num_workers=cfg.n_workers)
-    # device transfer one batch ahead, overlapping the previous step
-    pf = loader.PrefetchLoader(dl, mesh=mesh)
+    # device transfer AND preprocess one batch ahead, overlapping the
+    # previous step
+    pf = loader.PrefetchLoader(dl, mesh=mesh,
+                               preprocess_fn=make_batch_preprocess(cfg))
     return loader.InfiniteIterator(pf), len(sampler)
 
 
