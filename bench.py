@@ -9,7 +9,8 @@ counts (`--inference_n_clips` in {1, 16}, README.md:109-124). The reported
 metric/vs_baseline use the 16-clip unit; `value_1clip` carries the 1-clip
 number. Clips per step: 8 videos x 16 clips = 128 (the framework's
 cached-feature eval batches videos via inference_video_batch_size) and
-64 videos x 1 clip, matching inference_batch_size 64.
+128 videos x 1 clip (the 1-clip unit is latency-light, so the serving
+batch is wider; both A/B-measured optima on this chip).
 
 Methodology: the timing loop is a `lax.scan` INSIDE one jitted program —
 the remote-TPU platform defers unfetched executions and charges a host RTT
@@ -104,7 +105,7 @@ def main():
     params = jax.device_put(params)
 
     clips_16 = measure(params, cfg, num_clips=16, batch_videos=8)
-    clips_1 = measure(params, cfg, num_clips=1, batch_videos=64)
+    clips_1 = measure(params, cfg, num_clips=1, batch_videos=128)
 
     print(json.dumps({
         "metric": "msrvtt_retrieval_16clip_clips_per_sec_per_chip",

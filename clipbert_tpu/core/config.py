@@ -153,6 +153,10 @@ class RunConfig:
     random_sample_clips: bool = True
 
     # training
+    # rematerialize CNN stages + BERT scan body in the backward pass:
+    # ~1/3 more forward FLOPs for a large activation-memory cut, raising
+    # the per-chip batch ceiling (jax.checkpoint; no reference equivalent)
+    remat: bool = False
     train_batch_size: int = 128
     val_batch_size: int = 128
     gradient_accumulation_steps: int = 1

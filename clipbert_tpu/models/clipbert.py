@@ -147,11 +147,11 @@ def mlp_head(p: Params, pooled: jnp.ndarray) -> jnp.ndarray:
 
 
 def cnn_forward(p: Params, visual_pixels: jnp.ndarray,
-                compute_dtype=jnp.bfloat16, stride_in_1x1: bool = True
-                ) -> jnp.ndarray:
+                compute_dtype=jnp.bfloat16, stride_in_1x1: bool = True,
+                remat: bool = False) -> jnp.ndarray:
     """(B, T, H, W, 3) preprocessed pixels -> (B, T, Hg, Wg, D) grid feats."""
     return resnet.grid_feat_forward(
-        p, visual_pixels.astype(compute_dtype), stride_in_1x1)
+        p, visual_pixels.astype(compute_dtype), stride_in_1x1, remat=remat)
 
 
 def fold_cnn_bn_scales(params: Params) -> Params:
@@ -199,7 +199,8 @@ def clipbert_forward(
     rngs = rngs or RngGen(None)
     if visual_features is None:
         visual_features = cnn_forward(params["cnn"], batch["visual_inputs"],
-                                      compute_dtype, stride_in_1x1)
+                                      compute_dtype, stride_in_1x1,
+                                      remat=remat)
     visual_features = repeat_for_texts(visual_features, group_size)
 
     tp = params["transformer"]

@@ -241,7 +241,8 @@ def stem_s2d_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
 def resnet50_forward(p: Params, x: jnp.ndarray,
                      stride_in_1x1: bool = True,
                      stem_s2d: bool = False,
-                     use_pallas: bool = False) -> jnp.ndarray:
+                     use_pallas: bool = False,
+                     remat: bool = False) -> jnp.ndarray:
     """(B, H, W, 3) preprocessed pixels -> (B, H/32, W/32, 2048) res5 features.
 
     Equivalent of the reference's `backbone(x)` +
@@ -249,23 +250,40 @@ def resnet50_forward(p: Params, x: jnp.ndarray,
     RES5_DILATION=1, i.e. a plain strided res5. ``stem_s2d`` switches the
     stem to the mathematically-identical space-to-depth form (even input
     sizes only); params are shared between both paths.
+
+    ``remat`` wraps the stem and each residual stage in `jax.checkpoint`
+    so the backward pass recomputes intra-stage activations instead of
+    storing them — the early-stage tensors (e.g. 112^2 x 256 per frame)
+    dominate train-step HBM and cap the per-chip batch otherwise
+    (the apex-amp reference has no equivalent; this is the TPU-native
+    memory/FLOPs dial).
     """
-    if stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        h = conv2d(space_to_depth(x),
-                   stem_s2d_kernel(p["stem"]["conv"]["kernel"]),
-                   stride=1, padding=[(2, 1), (2, 1)])
-    else:
-        h = conv2d(x, p["stem"]["conv"]["kernel"], stride=2,
-                   padding=[(3, 3), (3, 3)])
-    h = jax.nn.relu(frozen_bn(h, p["stem"]["bn"]))
-    h = max_pool(h, 3, 2, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    def stem_fn(sp, x):
+        if stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            h = conv2d(space_to_depth(x), stem_s2d_kernel(sp["conv"]["kernel"]),
+                       stride=1, padding=[(2, 1), (2, 1)])
+        else:
+            h = conv2d(x, sp["conv"]["kernel"], stride=2,
+                       padding=[(3, 3), (3, 3)])
+        h = jax.nn.relu(frozen_bn(h, sp["bn"]))
+        return max_pool(h, 3, 2, [(0, 0), (1, 1), (1, 1), (0, 0)])
+
+    if remat:
+        stem_fn = jax.checkpoint(stem_fn)
+    h = stem_fn(p["stem"], x)
     for si in range(4):
-        blocks = p[f"res{si + 2}"]
         stage_stride = 1 if si == 0 else 2
-        for bi, bp in enumerate(blocks):
-            h = bottleneck(h, bp, stage_stride if bi == 0 else 1,
-                           stride_in_1x1=stride_in_1x1,
-                           use_pallas=use_pallas)
+
+        def stage_fn(blocks, h, _ss=stage_stride):
+            for bi, bp in enumerate(blocks):
+                h = bottleneck(h, bp, _ss if bi == 0 else 1,
+                               stride_in_1x1=stride_in_1x1,
+                               use_pallas=use_pallas)
+            return h
+
+        if remat:
+            stage_fn = jax.checkpoint(stage_fn)
+        h = stage_fn(p[f"res{si + 2}"], h)
     return h
 
 
@@ -277,7 +295,8 @@ def grid_encoder_forward(p: Params, feat: jnp.ndarray) -> jnp.ndarray:
 
 
 def grid_feat_forward(p: Params, frames: jnp.ndarray,
-                      stride_in_1x1: bool = True) -> jnp.ndarray:
+                      stride_in_1x1: bool = True,
+                      remat: bool = False) -> jnp.ndarray:
     """(B, T, H, W, 3) -> (B, T, H/64, W/64, hidden) grid features.
 
     The frame axis folds into batch for one big conv pipeline (the MXU wants
@@ -286,7 +305,7 @@ def grid_feat_forward(p: Params, frames: jnp.ndarray,
     """
     B, T, H, W, C = frames.shape
     x = frames.reshape(B * T, H, W, C)
-    feat = resnet50_forward(p["resnet"], x, stride_in_1x1)
+    feat = resnet50_forward(p["resnet"], x, stride_in_1x1, remat=remat)
     grid = grid_encoder_forward(p["grid_encoder"], feat)
     _, Hg, Wg, D = grid.shape
     return grid.reshape(B, T, Hg, Wg, D)

@@ -30,7 +30,7 @@ from clipbert_tpu.utils.basic import load_jsonl
 def make_task_settings(cfg: RunConfig) -> steps.TaskSettings:
     return steps.TaskSettings(
         head_type="pretrain", use_mlm=cfg.use_mlm, use_itm=cfg.use_itm,
-        group_size=cfg.max_n_example_per_group)
+        group_size=cfg.max_n_example_per_group, remat=cfg.remat)
 
 
 def build_groups(ann_paths, cfg: RunConfig, is_train: bool):

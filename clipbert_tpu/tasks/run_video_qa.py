@@ -53,7 +53,7 @@ def make_task_settings(cfg: RunConfig, n_clips: int) -> steps.TaskSettings:
     return steps.TaskSettings(
         head_type=head, num_labels=cfg.num_labels, loss_type=cfg.loss_type,
         score_agg_func=cfg.score_agg_func, train_n_clips=n_clips,
-        group_size=G)
+        group_size=G, remat=cfg.remat)
 
 
 def build_groups(cfg: RunConfig, ann_paths, is_train: bool):

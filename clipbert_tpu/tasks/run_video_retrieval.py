@@ -44,7 +44,8 @@ def make_task_settings(cfg: RunConfig) -> steps.TaskSettings:
         head_type="retrieval", num_labels=cfg.num_labels,
         loss_type=cfg.loss_type, score_agg_func=cfg.score_agg_func,
         train_n_clips=cfg.train_n_clips,
-        group_size=1 + cfg.itm_neg_size, margin=cfg.margin)
+        group_size=1 + cfg.itm_neg_size, margin=cfg.margin,
+        remat=cfg.remat)
 
 
 def build_train_datalist(cfg: RunConfig, ann_paths):

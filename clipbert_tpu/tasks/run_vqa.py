@@ -49,7 +49,7 @@ def make_task_settings(cfg: RunConfig, is_train: bool = True
         head_type="seq_cls", num_labels=cfg.num_labels, loss_type="bce",
         train_n_clips=1,
         group_size=cfg.max_n_example_per_group if is_train else 1,
-        scale_loss_by_num_labels=True)
+        scale_loss_by_num_labels=True, remat=cfg.remat)
 
 
 def build_validate(cfg: RunConfig, val_ds: VQADataset, val_loader, mesh,

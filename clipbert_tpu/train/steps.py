@@ -132,7 +132,8 @@ def mil_forward(params: Params, cfg: ModelConfig, ts: TaskSettings,
     # (B_v, nc*nf, H, W, 3) -> clip-major (nc*B_v, nf, H, W, 3)
     vis = vis.reshape(B_v, nc, nf, H, W, C).transpose(1, 0, 2, 3, 4, 5)
     vis = vis.reshape(nc * B_v, nf, H, W, C)
-    feats = clipbert.cnn_forward(params["cnn"], vis, compute_dtype)
+    feats = clipbert.cnn_forward(params["cnn"], vis, compute_dtype,
+                                 remat=ts.remat and train)
     # fan out to texts: consecutive repeat inside each clip block
     if G > 1:
         feats = feats.reshape((nc, B_v) + feats.shape[1:])

@@ -200,10 +200,43 @@ def import_torch_e2e(flat: Dict[str, np.ndarray], cfg: ModelConfig,
 # ---------------------------------------------------------------------------
 
 def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
-          mesh=None, max_steps: Optional[int] = None) -> Dict[str, Any]:
-    """Run training to completion; returns {params, global_step, history}."""
+          mesh=None, max_steps: Optional[int] = None,
+          stop_signal: Optional[Callable[[], bool]] = None) -> Dict[str, Any]:
+    """Run training to completion; returns {params, global_step, history}.
+
+    ``stop_signal`` (optional) is polled once per step; when it returns
+    True the loop saves a restore bundle and exits cleanly — the next run
+    auto-resumes from it. When None, a SIGTERM handler provides the same
+    behavior (preemption-safe training: SIGTERM -> bundle -> resume)."""
     from clipbert_tpu.core import compile_cache
     compile_cache.enable()
+    restore_sigterm = None
+    if stop_signal is None:
+        import signal
+        flag = {"stop": False}
+
+        def _on_term(signum, frame):
+            flag["stop"] = True
+            LOGGER.info("SIGTERM received: will checkpoint and exit "
+                        "after this step")
+
+        try:                       # signal.signal works in the main thread only
+            prev = signal.signal(signal.SIGTERM, _on_term)
+            restore_sigterm = (signal, prev)
+        except ValueError:
+            pass
+        stop_signal = lambda: flag["stop"]  # noqa: E731
+    try:
+        return _train_loop(run_cfg, model_cfg, spec, mesh, max_steps,
+                           stop_signal)
+    finally:
+        if restore_sigterm is not None:
+            sig, prev = restore_sigterm
+            sig.signal(sig.SIGTERM, prev)
+
+
+def _train_loop(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
+                mesh, max_steps, stop_signal) -> Dict[str, Any]:
     run_cfg.validate()
     mesh = mesh or make_mesh()
     main = dist.is_main_process()
@@ -325,6 +358,16 @@ def train(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
     pending = None
     train_iter = iter(spec.train_loader)
     while global_step < num_train_steps:
+        if stop_signal():
+            LOGGER.info(f"stop requested at step {global_step}: "
+                        "saving restore bundle and exiting")
+            if restorer is not None and main:
+                restorer.save(global_step,
+                              {"params": state.params,
+                               "opt": {"step": np.asarray(state.opt.step),
+                                       "mu": state.opt.mu,
+                                       "nu": state.opt.nu}})
+            break
         trace.maybe_start(global_step)
         if accum == 1:
             task, host_batch = next_task_batch(train_iter)

@@ -246,3 +246,24 @@ def test_fold_cnn_bn_scales_model_level(rng_np):
                                     compute_dtype=jnp.float32)["logits"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_remat_forward_and_grad_match(rng_np):
+    """jax.checkpoint'ed stages recompute the same math: forward and grads
+    must match the plain path (the remat knob must be numerics-free)."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.models import resnet
+    p = resnet.init_resnet50(jax.random.key(11))
+    x = jnp.asarray(rng_np.standard_normal((1, 64, 64, 3)), jnp.float32)
+
+    def loss(params, x, remat):
+        return resnet.resnet50_forward(params, x, remat=remat).sum()
+
+    f0 = loss(p, x, False)
+    f1 = loss(p, x, True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-6)
+    g0 = jax.grad(loss, argnums=1)(p, x, False)
+    g1 = jax.grad(loss, argnums=1)(p, x, True)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-5)
