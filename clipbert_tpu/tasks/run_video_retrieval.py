@@ -166,10 +166,13 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
             vis, src_hw = transforms.collate_visual(items)
             # start the H2D transfer from the worker thread so it overlaps
             # the scoring of the previous group (host->device bandwidth is
-            # the binding constraint on tunneled/remote TPU hosts)
-            vis = jax.device_put(vis)
+            # the binding constraint on tunneled/remote TPU hosts); shard
+            # the video axis over the mesh so multi-chip hosts split the
+            # CNN encode instead of serializing it on one chip
+            vis_sh = sharding if vb % n_data == 0 else None
+            vis = jax.device_put(vis, vis_sh)
             if src_hw is not None:
-                src_hw = jax.device_put(src_hw)
+                src_hw = jax.device_put(src_hw, vis_sh)
             return group, vis, src_hw
 
         with ThreadPoolExecutor(max(2, cfg.n_workers)) as pool:
