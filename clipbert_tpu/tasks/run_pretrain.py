@@ -125,9 +125,10 @@ def start_training(cfg: RunConfig):
     steps_per_epoch = 0
     for spec in cfg.train_datasets:
         dl, _ds = build_one_loader(spec, cfg, tokenizer, is_train=True)
-        # prefetch so host->device transfer overlaps the previous step
+        # prefetch: transfer AND device preprocess overlap the previous step
         train_loaders[spec.name or str(spec.txt)] = \
-            loader.PrefetchLoader(dl, mesh=mesh)
+            loader.PrefetchLoader(dl, mesh=mesh,
+                                  preprocess_fn=common.make_batch_preprocess(cfg))
         ratios[spec.name or str(spec.txt)] = spec.ratio
         steps_per_epoch += len(dl)
     meta_loader = loader.MetaLoader(
