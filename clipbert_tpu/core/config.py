@@ -204,8 +204,9 @@ class RunConfig:
     inference_n_clips: int = 1
     # videos whose cached features fold into one BERT scoring batch during
     # full-matrix retrieval eval (ours; the reference recomputes per text
-    # minibatch instead, run_video_retrieval.py:640-666)
-    inference_video_batch_size: int = 4
+    # minibatch instead, run_video_retrieval.py:640-666). 8 is the
+    # A/B-measured v5e optimum bench.py reports at.
+    inference_video_batch_size: int = 8
 
     # device / precision
     seed: int = 42

@@ -59,10 +59,13 @@ def fold_bn_scales(p: Params) -> Params:
     """Inference-time transform: per-channel frozen-BN scale folded into the
     preceding conv kernel (kernel *= scale; BN becomes a bias-only add).
 
-    Mathematically identical to the unfolded forward — conv(x, W)·s + b ==
-    conv(x, W·s) + b — but removes a full-activation multiply per conv
-    (frozen BN never trains, so this is exact for eval; training keeps the
-    unfolded form so checkpoints/optimizer see the reference's geometry).
+    Identical to the unfolded forward in real arithmetic — conv(x, W)·s + b
+    == conv(x, W·s) + b — and removes a full-activation multiply per conv.
+    In the bf16 compute path the rounding point moves (kernel·s rounds once
+    at the conv input vs conv output·s), so folded eval logits can differ
+    from the unfolded training forward by ~1 bf16 ulp (bounded by
+    test_fold_bn_scales_exact). Training keeps the unfolded form so
+    checkpoints/optimizer see the reference's geometry.
     """
     def fold(node):
         if not isinstance(node, dict):
@@ -182,24 +185,32 @@ def bottleneck_pallas(x: jnp.ndarray, p: Params, stride: int,
     matmul+BN+ReLU(+residual) kernels; the 3x3 stays on XLA's conv emitter.
     Numerically identical to :func:`bottleneck` (same fp32 epilogue)."""
     from clipbert_tpu.ops.pallas_kernels import conv1x1_bn_act
+
+    def sb(bn, cout):
+        # fold_bn_scales() removes "scale" (it lives in the conv kernel):
+        # the fused epilogue then multiplies by 1
+        s = bn.get("scale")
+        return (jnp.ones((cout,), jnp.float32) if s is None else s,
+                bn["bias"])
+
     s1, s2 = (stride, 1) if stride_in_1x1 else (1, stride)
     pad3 = [(dilation, dilation), (dilation, dilation)]
-    out = conv1x1_bn_act(x, p["conv1"]["kernel"], p["conv1"]["bn"]["scale"],
-                         p["conv1"]["bn"]["bias"], stride=s1, relu=True)
+    sc1, b1 = sb(p["conv1"]["bn"], p["conv1"]["kernel"].shape[-1])
+    out = conv1x1_bn_act(x, p["conv1"]["kernel"], sc1, b1, stride=s1,
+                         relu=True)
     out = jax.nn.relu(frozen_bn(
         conv2d(out, p["conv2"]["kernel"], s2, padding=pad3, dilation=dilation),
         p["conv2"]["bn"]))
     if "shortcut" in p:
-        sc = conv1x1_bn_act(x, p["shortcut"]["kernel"],
-                            p["shortcut"]["bn"]["scale"],
-                            p["shortcut"]["bn"]["bias"], stride=stride,
-                            relu=False)
+        scs, bs = sb(p["shortcut"]["bn"], p["shortcut"]["kernel"].shape[-1])
+        sc = conv1x1_bn_act(x, p["shortcut"]["kernel"], scs, bs,
+                            stride=stride, relu=False)
     else:
         sc = x
     # final 1x1 with the residual add + relu fused into the epilogue
-    return conv1x1_bn_act(out, p["conv3"]["kernel"], p["conv3"]["bn"]["scale"],
-                          p["conv3"]["bn"]["bias"], stride=1, residual=sc,
-                          relu=True)
+    sc3, b3 = sb(p["conv3"]["bn"], p["conv3"]["kernel"].shape[-1])
+    return conv1x1_bn_act(out, p["conv3"]["kernel"], sc3, b3, stride=1,
+                          residual=sc, relu=True)
 
 
 def max_pool(x: jnp.ndarray, window: int, stride: int, padding) -> jnp.ndarray:

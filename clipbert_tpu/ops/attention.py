@@ -34,12 +34,15 @@ def multi_head_attention(
 
     # one fused (D -> 3D) projection: reads the activations from HBM once
     # instead of three times and tiles the MXU 3x wider; column-block
-    # concatenation makes it bit-identical to separate Q/K/V matmuls
+    # concatenation plus the same fp32-accumulate / fp32-bias / single-cast
+    # recipe as ops.linear makes it bit-identical to the separate matmuls
     w = jnp.concatenate([params["query"]["kernel"], params["key"]["kernel"],
                          params["value"]["kernel"]], axis=1)
     b = jnp.concatenate([params["query"]["bias"], params["key"]["bias"],
                          params["value"]["bias"]])
-    qkv = (hidden @ w.astype(hidden.dtype)) + b.astype(hidden.dtype)
+    qkv = jnp.dot(hidden, w.astype(hidden.dtype),
+                  preferred_element_type=jnp.float32)
+    qkv = (qkv + b.astype(jnp.float32)).astype(hidden.dtype)
     q, k, v = (t.reshape(B, L, num_heads, head_dim)
                for t in jnp.split(qkv, 3, axis=-1))
 

@@ -26,12 +26,17 @@ only reshapes are sublane-aligned (flat -> (rows, PC, 64) with PC % 8 == 0),
 and the pooled column parity pair is emitted on the channel axis
 (..., W/8, 128) and bitcast-reshaped to (..., W/4, 64) by XLA outside.
 
-Replaces the reference's detectron2 stem (`grid_feat.py:95`, d2 BasicStem
-conv1 + frozen BN + relu + maxpool) on the inference path; training keeps
-the XLA stem (this kernel defines no VJP). The conv accumulates in fp32
-like XLA's conv emitter; pooling is exact (zero pool-padding is equivalent
-to the reference's -inf because ReLU outputs are >= 0 and every window has
-at least one real element).
+STATUS — experimental, NOT wired into any production path: measured on
+the v5e bench shape this formulation's 4x FLOP inflation loses to XLA's
+native stem (7.4-13.9 ms vs 6.1 ms; see PARITY "measured dead ends"), so
+`resnet50_forward` never calls it. It stays as a correctness-tested
+(tests/test_pallas_kernels.py, interpret mode) extension point for TPU
+generations where the tradeoff flips. Functionally it computes the
+reference's detectron2 stem (`grid_feat.py:95`, d2 BasicStem conv1 +
+frozen BN + relu + maxpool), inference only (no VJP). The conv
+accumulates in fp32 like XLA's conv emitter; pooling is exact (zero
+pool-padding is equivalent to the reference's -inf because ReLU outputs
+are >= 0 and every window has at least one real element).
 """
 
 from __future__ import annotations

@@ -104,9 +104,10 @@ def _load_flat_ckpt(path: str) -> Dict[str, np.ndarray]:
 
 
 def _is_tf_checkpoint(path: str) -> bool:
-    """TF-1 checkpoint: a `<prefix>.index` file (given directly or implied)."""
-    return (path.endswith(".index") or os.path.exists(path + ".index")
-            or ".ckpt" in os.path.basename(path))
+    """TF-1 checkpoint prefix: its `<prefix>.index` file must exist (given
+    directly or implied). No name heuristics — torch checkpoints are also
+    commonly named `*.ckpt` (e.g. Lightning) and must route to torch.load."""
+    return path.endswith(".index") or os.path.exists(path + ".index")
 
 
 def setup_model(run_cfg: RunConfig, model_cfg: ModelConfig, head_type: str,

@@ -69,3 +69,17 @@ def test_fused_stem_pool_matches_xla_stem(rng_np):
         got = pallas_stem.fused_stem_pool(x, wp, bias)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bottleneck_with_folded_params(rng_np):
+    """use_pallas must accept fold_bn_scales() output (bias-only BN nodes)."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.models import resnet
+    p = resnet.init_resnet50(jax.random.key(2))
+    pf = resnet.fold_bn_scales(p)
+    x = jnp.asarray(rng_np.standard_normal((1, 64, 64, 3)), jnp.float32)
+    ref = resnet.resnet50_forward(pf, x, use_pallas=False)
+    got = resnet.resnet50_forward(pf, x, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
