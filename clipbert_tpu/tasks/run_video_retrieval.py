@@ -124,9 +124,8 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
         head_type="retrieval", num_labels=cfg.num_labels,
         loss_type=cfg.loss_type, score_agg_func=cfg.score_agg_func,
         train_n_clips=cfg.inference_n_clips, group_size=1)
-    encode_fn = steps.make_visual_encode_step(model_cfg, mesh=mesh,
-                                              compute_dtype=compute_dtype)
-    score_fn = steps.make_text_score_step(model_cfg, ts, mesh=mesh,
+    encode_fn = steps.make_visual_encode_step(compute_dtype=compute_dtype)
+    score_fn = steps.make_text_score_step(model_cfg, ts,
                                           compute_dtype=compute_dtype)
 
     caps = eval_ds.encode_all_captions()

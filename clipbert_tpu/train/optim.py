@@ -140,6 +140,12 @@ def adamw_update(params: Dict, grads: Dict, state: AdamWState,
                  lr_transformer, lr_cnn):
     """One AdamW step. lr_transformer / lr_cnn are (traced) scalars from
     the schedules; per-leaf lr = base * lr_mul per its group."""
+    # the reference clips amp master params = the 8 optimizer groups only
+    # (optimization/utils.py:96-161; frozen BN pairs are torch buffers with
+    # no grad there) — zero frozen leaves so they don't contribute to the
+    # global norm / clip coefficient / logged grad_norm
+    grads = jax.tree.map(
+        lambda g, gm: g if gm.trainable else jnp.zeros_like(g), grads, meta)
     if cfg.grad_norm is not None and cfg.grad_norm > 0:
         grads, grad_norm_val = clip_by_global_norm(grads, cfg.grad_norm)
     else:

@@ -216,7 +216,9 @@ def task_loss(cfg: ModelConfig, ts: TaskSettings,
                 pooled, sample_size, ts.margin).mean()
         elif ts.head_type in ("multi_choice",):
             loss = clipbert.cross_entropy(pooled, labels).mean()
-        elif ts.num_labels == 1 and ts.loss_type == "mse":
+        elif ts.num_labels == 1:
+            # single-logit heads regress regardless of loss_type
+            # (reference modeling.py calc_loss: num_labels == 1 -> MSELoss)
             loss = clipbert.mse(pooled, labels).mean()
         elif ts.loss_type == "bce":
             loss = clipbert.bce_with_logits(pooled, labels).mean()
@@ -324,7 +326,10 @@ def make_train_step(cfg: ModelConfig, ts: TaskSettings, oc: OptimConfig,
             loss = lsum / accum_steps
             metrics = jax.tree.map(lambda x: x.mean(), ms)
 
-        lr_t, lr_c = ss.lrs(state.opt.step)
+        # the reference evaluates the schedule at the POST-increment step
+        # (run_video_qa.py:515-525: global_step += 1 then get_lr_sched);
+        # opt.step is the count of completed updates, so this one is step+1
+        lr_t, lr_c = ss.lrs(state.opt.step + 1)
         new_params, new_opt, grad_norm = optim.adamw_update(
             state.params, grads, state.opt, meta, oc, lr_t, lr_c)
         metrics = dict(metrics, loss=loss, grad_norm=grad_norm,
@@ -381,9 +386,7 @@ def make_pretrain_eval_step(cfg: ModelConfig, ts: TaskSettings,
 # retrieval eval: visual features cached once per clip, reused across texts
 # ---------------------------------------------------------------------------
 
-def make_visual_encode_step(cfg: ModelConfig,
-                            mesh: Optional[Mesh] = None,
-                            compute_dtype=jnp.bfloat16) -> Callable:
+def make_visual_encode_step(compute_dtype=jnp.bfloat16) -> Callable:
     """(params, pixels (B, T, H, W, 3)) -> grid features.
 
     The reference recomputes the CNN for every text minibatch of the same
@@ -398,7 +401,6 @@ def make_visual_encode_step(cfg: ModelConfig,
 
 
 def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
-                         mesh: Optional[Mesh] = None,
                          compute_dtype=jnp.bfloat16) -> Callable:
     """(params, feats (B_v, nc, T, Hg, Wg, D), ids (B_t, Lt), mask) ->
     (B_v, B_t, nc, L) logits: a batch of cached videos' clips scored against

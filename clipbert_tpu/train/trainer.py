@@ -141,7 +141,11 @@ def setup_model(run_cfg: RunConfig, model_cfg: ModelConfig, head_type: str,
                 cnn = torch_import.import_resnet50_torchvision(flat)
             else:
                 cnn = torch_import.import_resnet50_d2(flat, bgr_checkpoint=bgr)
-            params["cnn"]["resnet"] = jax.tree.map(np.asarray, cnn)
+            merged, report = checkpoint.load_with_mismatch(
+                params["cnn"]["resnet"], checkpoint.flatten_tree(cnn))
+            params["cnn"]["resnet"] = merged
+            LOGGER.info(f"cnn load report: missing={len(report['missing'])} "
+                        f"mismatched={report['mismatched']}")
         if run_cfg.bert_weights_path:
             LOGGER.info(f"Loading bert weights from {run_cfg.bert_weights_path}")
             bp = run_cfg.bert_weights_path
@@ -363,11 +367,7 @@ def _train_loop(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
             LOGGER.info(f"stop requested at step {global_step}: "
                         "saving restore bundle and exiting")
             if restorer is not None and main:
-                restorer.save(global_step,
-                              {"params": state.params,
-                               "opt": {"step": np.asarray(state.opt.step),
-                                       "mu": state.opt.mu,
-                                       "nu": state.opt.nu}})
+                restorer.save(global_step, _restore_bundle(state))
             break
         trace.maybe_start(global_step)
         if accum == 1:
@@ -405,10 +405,7 @@ def _train_loop(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
 
         if restorer is not None and main \
                 and global_step % restorer.save_steps == 0:
-            restorer.save(global_step,
-                          {"params": state.params,
-                           "opt": {"step": np.asarray(state.opt.step),
-                                   "mu": state.opt.mu, "nu": state.opt.nu}})
+            restorer.save(global_step, _restore_bundle(state))
 
         if global_step % valid_steps == 0 or global_step == num_train_steps:
             elapsed = time.time() - t_start
@@ -435,6 +432,14 @@ def _train_loop(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
     return {"params": state.params, "global_step": global_step,
             "history": history, "state": state,
             "task_loss": {t: m.val for t, m in task_meters.items()}}
+
+
+def _restore_bundle(state) -> Dict:
+    """The restore-bundle tree schema (one definition; TrainingRestorer
+    round-trips it, tests/test_graceful_stop.py + auto-resume e2e)."""
+    return {"params": state.params,
+            "opt": {"step": np.asarray(state.opt.step),
+                    "mu": state.opt.mu, "nu": state.opt.nu}}
 
 
 def _to_device_batch(batch: Dict, mesh, spec: TaskSpec, compute_dtype):

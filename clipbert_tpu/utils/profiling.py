@@ -25,7 +25,11 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self) -> float:
+        if self._t0 is None:
+            return 0.0   # already stopped since the last start (the trainer
+                         # consumes two pendings on sync-point iterations)
         dt = time.perf_counter() - self._t0
+        self._t0 = None
         self._times.append(dt)
         if len(self._times) > self.window:
             self._times.pop(0)

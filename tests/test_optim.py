@@ -154,3 +154,58 @@ def test_schedules_match_reference():
                                  decay_epochs=[5, 10], multi_step_epoch=ep))
         ref = max(_ref_multi_step(ep, [5, 10]), 1e-8)
         np.testing.assert_allclose(got, ref, rtol=1e-5, err_msg=f"ms {ep}")
+
+
+def test_grad_clip_excludes_frozen_leaves():
+    """The reference clips only optimizer params (requires_grad); frozen
+    leaves must not contribute to the global norm or the clip coefficient."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.train import optim
+
+    params = {"transformer": {"w": jnp.ones((4,))},
+              "cnn": {"w": jnp.ones((4,))}}
+    cfg = optim.OptimConfig(grad_norm=2.0, freeze_cnn=True,
+                            weight_decay=0.0, cnn_weight_decay=0.0)
+    meta = optim.build_group_meta(params, cfg)
+    state = optim.init_adamw_state(params)
+    grads = {"transformer": {"w": jnp.full((4,), 0.5)},
+             "cnn": {"w": jnp.full((4,), 1e3)}}   # huge FROZEN grads
+    _, _, norm = optim.adamw_update(params, grads, state, meta, cfg,
+                                    jnp.float32(1e-3), jnp.float32(1e-3))
+    # norm counts only the trainable leaf: sqrt(4 * 0.25) = 1.0 (< 2.0, so
+    # the trainable update is NOT scaled down by the frozen junk)
+    np.testing.assert_allclose(float(norm), 1.0, rtol=1e-5)
+
+
+def test_first_step_lr_matches_reference_schedule():
+    """Reference increments global_step BEFORE get_lr_sched, so update #1
+    runs at lr = base/warmup_steps, not the 1e-8 floor."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.core.config import ModelConfig
+    from clipbert_tpu.models import clipbert
+    from clipbert_tpu.train import optim, steps
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=32,
+                      max_grid_row_position_embeddings=4,
+                      max_grid_col_position_embeddings=4,
+                      num_labels=2, loss_type="ce")
+    ts = steps.TaskSettings(head_type="seq_cls", num_labels=2,
+                            loss_type="ce", train_n_clips=1, group_size=1)
+    oc = optim.OptimConfig(learning_rate=1e-3, cnn_learning_rate=1e-3)
+    ss = steps.ScheduleSettings(learning_rate=1e-3, cnn_learning_rate=1e-3,
+                                num_train_steps=100, warmup_ratio=0.1)
+    params = clipbert.init_clipbert(jax.random.key(0), cfg, "seq_cls")
+    meta = optim.build_group_meta(params, oc)
+    step_fn = steps.make_train_step(cfg, ts, oc, ss, meta)
+    state = steps.init_train_state(params)
+    batch = {"text_input_ids": jnp.zeros((2, 6), jnp.int32),
+             "text_input_mask": jnp.ones((2, 6), jnp.int32),
+             "visual_inputs": jnp.zeros((2, 1, 64, 64, 3), jnp.float32),
+             "labels": jnp.zeros((2,), jnp.int32)}
+    _, metrics = step_fn(state, batch, jax.random.key(1))
+    # warmup_linear(1, 10, 100) = 1/10 -> lr = 1e-4 (NOT the 1e-8 floor)
+    np.testing.assert_allclose(float(metrics["lr"]), 1e-4, rtol=1e-5)

@@ -218,7 +218,7 @@ def test_retrieval_eval_feature_cache_consistency():
     params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
     batch = make_batch(rng, B_v=1, nc=2, nf=1, G=1, label_mode=None)
 
-    enc = steps.make_visual_encode_step(cfg, compute_dtype=jnp.float32)
+    enc = steps.make_visual_encode_step(compute_dtype=jnp.float32)
     score = steps.make_text_score_step(cfg, ts, compute_dtype=jnp.float32)
     vis = batch["visual_inputs"].reshape(2, 1, 64, 64, 3)  # (nc, nf, H, W, 3)
     feats = enc(params, vis)
