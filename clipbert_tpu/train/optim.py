@@ -116,6 +116,11 @@ class AdamWState(NamedTuple):
 
 
 def init_adamw_state(params: Dict) -> AdamWState:
+    # moments are allocated for every leaf, including frozen ones (zeroed,
+    # never read) — ~190MB of HBM/bundle waste under freeze_cnn, kept
+    # deliberately so the restore-bundle schema is structure-stable across
+    # freeze configurations (resuming a freeze_cnn run without the flag,
+    # as reference fine-tuning recipes do, just works)
     zeros = jax.tree.map(jnp.zeros_like, params)
     return AdamWState(jnp.zeros((), jnp.int32), zeros,
                       jax.tree.map(jnp.zeros_like, params))
