@@ -38,6 +38,7 @@ import numpy as np
 from clipbert_tpu.data import transforms, video
 from clipbert_tpu.data.store import MediaStore
 from clipbert_tpu.data.tokenization import BertTokenizer
+from clipbert_tpu.utils.logger import LOGGER
 
 
 def flat_list_of_lists(lst):
@@ -158,6 +159,19 @@ class BaseDataset:
         h, w = int(arr.shape[1]), int(arr.shape[2])
         nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
         return {"vis": arr, "vis_hw": np.array([h, w, nh, nw], np.int32)}
+
+    def eval_fallback_frames(self, vid_id, n_frames: int) -> np.ndarray:
+        """Degrade-don't-die for EVAL paths: when a video is undecodable even
+        after the multi-clip prev-clip safeguard, substitute black frames and
+        log — that one video scores near chance instead of a crash killing an
+        hours-long full-matrix run. Train paths resample instead (the
+        reference's eval analogue: multi-clip safeguard + prev-clip copy,
+        dataset_video_retrieval.py:48-56, dataset_video_qa.py:59-64)."""
+        LOGGER.warning(
+            f"eval video {vid_id!r} failed to decode; substituting "
+            f"{n_frames} black frames (its scores will be ~chance)")
+        s = self.max_img_size
+        return np.zeros((n_frames, s, s, 3), np.uint8)
 
     def _retry_indices(self, index: int, n: int = 3, rng=None):
         """index then random resamples (dataset_pretrain.py:46-59)."""
@@ -365,7 +379,9 @@ class VideoRetrievalEvalDataset(BaseDataset):
         arr = self.load_video_multi_clips(vid_id, self.ensemble_n_clips,
                                           random_clips=False,
                                           prev_clip_fallback=True)
-        assert arr is not None, f"failed to decode eval video {vid_id}"
+        if arr is None:
+            arr = self.eval_fallback_frames(
+                vid_id, self.ensemble_n_clips * self.num_frm)
         return {**self.vis_item(arr), "vid_id": vid_id}
 
     def gt_matrix(self) -> np.ndarray:
@@ -392,7 +408,9 @@ class MSRVTTMCEvalDataset(BaseDataset):
                                           self.ensemble_n_clips,
                                           random_clips=False,
                                           prev_clip_fallback=True)
-        assert arr is not None, f"failed to decode video {item['vid_id']}"
+        if arr is None:
+            arr = self.eval_fallback_frames(
+                item["vid_id"], self.ensemble_n_clips * self.num_frm)
         return {**self.vis_item(arr),
                 "examples": [{"text_str": o, "question_id": item["id"]}
                              for o in item["options"]]}

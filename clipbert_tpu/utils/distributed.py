@@ -53,8 +53,23 @@ def all_gather_objects(obj: Any) -> List[Any]:
 
 def broadcast_object(obj: Any, root: int = 0) -> Any:
     """Broadcast a picklable object from the root host (replaces
-    any_broadcast, distributed.py:180-203)."""
+    any_broadcast, distributed.py:180-203).
+
+    A true one-to-all: only the root's payload crosses the network (one
+    scalar length round, then one root-sourced byte array) — not a
+    gather-and-discard, which would ship every host's payload to every
+    host (N^2 bytes) for nothing.
+    """
     if process_count() == 1:
         return obj
-    gathered = all_gather_objects(obj)
-    return gathered[root]
+    from jax.experimental import multihost_utils
+    is_src = process_index() == root
+    payload = (np.frombuffer(pickle.dumps(obj), np.uint8) if is_src
+               else np.zeros(0, np.uint8))
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.array(len(payload), np.int32), is_source=is_src))
+    buf = np.zeros(n, np.uint8)
+    if is_src:
+        buf[:] = payload
+    out = multihost_utils.broadcast_one_to_all(buf, is_source=is_src)
+    return obj if is_src else pickle.loads(np.asarray(out).tobytes())

@@ -96,3 +96,21 @@ def test_inference_video_batch_size_survives_restore():
         {"inference_video_batch_size": 4, "train_batch_size": 8})
     assert merged.inference_video_batch_size == 16
     assert merged.train_batch_size == 8
+
+
+def test_vestigial_knobs_fail_loudly():
+    """Accepted-but-unimplemented reference values must error, not silently
+    substitute (reference's sgd/cnn_optim and linear/classifier branches are
+    vestigial — no shipped config uses them)."""
+    import pytest
+    from clipbert_tpu.core.config import RunConfig
+
+    with pytest.raises(ValueError, match="cnn_optim"):
+        RunConfig(cnn_optim="sgd").validate()
+    with pytest.raises(ValueError, match="classifier"):
+        RunConfig(classifier="linear").validate()
+    with pytest.raises(ValueError, match="optim"):
+        RunConfig(optim="sgd", cnn_optim="sgd").validate()
+    with pytest.raises(ValueError, match="one optimizer family"):
+        RunConfig(optim="adamw", cnn_optim="adam").validate()
+    RunConfig(optim="adamax", cnn_optim="adamax").validate()

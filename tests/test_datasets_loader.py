@@ -279,3 +279,41 @@ def test_meta_loader_host_determinism():
     # accumulation windows keep the same task for accum_steps consecutive
     for i in range(0, 40, 2):
         assert s1[i] == s1[i + 1]
+
+
+def test_eval_datasets_degrade_on_undecodable_video(tok, tmp_path):
+    """One corrupt eval video must NOT kill a full-matrix run: the eval
+    datasets substitute black frames + a warning (matching the reference's
+    degrade-don't-die eval behavior, dataset_video_retrieval.py:48-56),
+    while good videos in the same store decode normally."""
+    p = str(tmp_path / "poisoned.cbpk")
+    with store.PackWriter(p) as w:
+        w.put("vid_good", make_video_blob(0))
+        w.put("vid_bad", b"\x00\x01 this is not a video \xff" * 20)
+    s = store.open_store(p)
+
+    datalist = [{"id": 0, "txt": "cat", "vid_id": "vid_good"},
+                {"id": 1, "txt": "dog", "vid_id": "vid_bad"}]
+    ds = datasets.VideoRetrievalEvalDataset(
+        datalist, tok, s, num_frm=2, fps=5, max_img_size=32,
+        ensemble_n_clips=2)
+    good = ds[0]
+    assert good["vis"].shape == (4, 32, 32, 3)
+    bad = ds[1]
+    assert bad["vis"].shape == (4, 32, 32, 3)
+    assert (bad["vis"] == 0).all()
+    assert bad["vid_id"] == "vid_bad"
+
+    # also the missing-key case (store returns None)
+    ds_missing = datasets.VideoRetrievalEvalDataset(
+        [{"id": 0, "txt": "cat", "vid_id": "vid_gone"}], tok, s,
+        num_frm=2, fps=5, max_img_size=32, ensemble_n_clips=1)
+    assert (ds_missing[0]["vis"] == 0).all()
+
+    mc_list = [{"id": 7, "vid_id": "vid_bad",
+                "options": [f"o {j}" for j in range(5)], "answer": 1}]
+    mc = datasets.MSRVTTMCEvalDataset(mc_list, tok, s, num_frm=2, fps=5,
+                                      max_img_size=32, ensemble_n_clips=2)
+    item = mc[0]
+    assert (item["vis"] == 0).all()
+    assert len(item["examples"]) == 5
