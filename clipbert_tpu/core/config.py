@@ -208,6 +208,15 @@ class RunConfig:
     # A/B-measured v5e optimum bench.py reports at.
     inference_video_batch_size: int = 8
 
+    # multi-host (pod-slice) launch topology. On Cloud TPU pods these
+    # auto-detect (leave unset); for manual launches pass all three on every
+    # process. They replace the reference's `horovodrun -np N` / mpirun
+    # launch surface (README.md:93). Like the inference_* keys, they are
+    # launch-specific and never replayed from stored training args.
+    coordinator_address: Optional[str] = None  # "host:port" of process 0
+    num_processes: int = -1                    # -1 = auto-detect
+    process_id: int = -1                       # -1 = auto-detect
+
     # device / precision
     seed: int = 42
     bf16: bool = True  # TPU-native replacement of the reference's fp16/amp O2
@@ -237,7 +246,9 @@ class RunConfig:
             self.betas = tuple(self.betas)
 
     def validate(self) -> None:
-        """Cross-checks mirroring reference config.py:261-271."""
+        """Cross-checks mirroring reference config.py:261-271, plus
+        fail-loudly rules for knob values the reference accepts but never
+        actually ships (no accepted value may silently change behavior)."""
         assert self.gradient_accumulation_steps >= 1
         assert 0 < self.data_ratio <= 1.0
         assert self.max_img_size > 0
@@ -247,6 +258,27 @@ class RunConfig:
         if self.score_agg_func == "lse":
             assert self.loss_type == "ce", (
                 f"lse aggregation requires ce loss, not {self.loss_type}")
+        implemented = ("adam", "adamax", "adamw")
+        if self.optim not in implemented:
+            raise ValueError(f"optim={self.optim!r}; implemented: {implemented}")
+        if self.cnn_optim not in implemented:
+            # the reference parses cnn_optim="sgd" but no shipped config uses
+            # it (its sgd branch is vestigial, optimization/utils.py:118-127)
+            raise ValueError(
+                f"cnn_optim={self.cnn_optim!r} is not implemented; "
+                f"use one of {implemented}")
+        if self.cnn_optim != self.optim:
+            raise ValueError(
+                f"cnn_optim={self.cnn_optim!r} != optim={self.optim!r}: the "
+                "engine runs one optimizer family across all 8 groups (every "
+                "reference config uses adamw for both; twin LR/decay knobs "
+                "remain per-side)")
+        if self.classifier != "mlp":
+            # reference accepts classifier="linear" but every shipped config
+            # and head uses the mlp classifier (modeling.py head setup)
+            raise ValueError(
+                f"classifier={self.classifier!r} is not implemented; only "
+                "'mlp' heads exist ('linear' is vestigial in the reference)")
 
     def to_dict(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)
@@ -262,6 +294,8 @@ class RunConfig:
         keep = {k for k in self.to_dict() if "inference" in k}
         keep.add("output_dir")
         keep.add("do_inference")
+        # launch topology belongs to THIS launch, not the training run
+        keep.update(("coordinator_address", "num_processes", "process_id"))
         known = {f.name for f in dataclasses.fields(RunConfig)}
         merged = self.to_dict()
         for k, v in stored.items():

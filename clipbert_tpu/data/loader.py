@@ -136,13 +136,15 @@ class PrefetchLoader:
 
     def _put(self, batch: Dict) -> Dict:
         import jax
-        from clipbert_tpu.core.mesh import data_shard
+        from clipbert_tpu.core.mesh import put_batch_sharded
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray) and v.dtype != object:
-                if (self.mesh is not None
-                        and v.shape[0] % self.mesh.shape["data"] == 0):
-                    out[k] = jax.device_put(v, data_shard(self.mesh))
+                if self.mesh is not None:
+                    # single-host: shard over the mesh data axis (replicate
+                    # non-divisible tails); multi-host: this host's rows
+                    # become its slice of the global batch
+                    out[k] = put_batch_sharded(self.mesh, v)
                 else:
                     out[k] = jax.device_put(v)
             else:

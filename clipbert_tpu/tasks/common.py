@@ -98,6 +98,7 @@ def build_eval_loader(dataset, collate_fn, cfg: RunConfig, batch_size=None):
 def device_batch(batch: Dict, mesh, mean=None, std=None, compute_dtype=None,
                  cfg: Optional[RunConfig] = None):
     import jax.numpy as jnp
+    from clipbert_tpu.core.mesh import process_local_mesh
     if cfg is not None:
         cfg_mean, cfg_std = pixel_mean_std(cfg)
         mean = mean or cfg_mean
@@ -105,6 +106,10 @@ def device_batch(batch: Dict, mesh, mean=None, std=None, compute_dtype=None,
     mean = mean or transforms.IMAGENET_MEAN_255
     std = std or transforms.IMAGENET_STD_1
     compute_dtype = compute_dtype or jnp.bfloat16
+    # eval batches live on THIS host's devices: validation work is already
+    # sharded across hosts by the sampler/video striding, so each host
+    # scores its shard locally and results merge via all_gather_objects
+    mesh = process_local_mesh(mesh)
     n_data = mesh.shape["data"]
     dev = {}
     host = {}

@@ -90,6 +90,9 @@ def start_inference(cfg: RunConfig):
 
 def main(argv=None):
     cfg = load_run_config(argv)
+    # pod-slice bootstrap before first device touch (reference: hvd.init())
+    from clipbert_tpu.core.mesh import maybe_init_distributed
+    maybe_init_distributed(cfg)
     return start_inference(cfg)
 
 

@@ -120,6 +120,11 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
     (videos x clips x texts)
     fold into one BERT batch.
     """
+    # videos are sharded across hosts (index striding below); each host
+    # scores its shard on ITS devices — the local submesh — and the rows
+    # merge via all_gather_objects at the end
+    from clipbert_tpu.core.mesh import process_local_mesh
+    mesh = process_local_mesh(mesh)
     ts = steps.TaskSettings(
         head_type="retrieval", num_labels=cfg.num_labels,
         loss_type=cfg.loss_type, score_agg_func=cfg.score_agg_func,
@@ -255,6 +260,9 @@ def start_inference(cfg: RunConfig):
 
 def main(argv=None):
     cfg = load_run_config(argv)
+    # pod-slice bootstrap before first device touch (reference: hvd.init())
+    from clipbert_tpu.core.mesh import maybe_init_distributed
+    maybe_init_distributed(cfg)
     if cfg.do_inference:
         return start_inference(cfg)
     return start_training(cfg)

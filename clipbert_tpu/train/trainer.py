@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from clipbert_tpu.ckpt import checkpoint, torch_import
 from clipbert_tpu.core.config import ModelConfig, RunConfig
-from clipbert_tpu.core.mesh import make_mesh, replicate_tree
+from clipbert_tpu.core.mesh import localize_tree, make_mesh, replicate_tree
 from clipbert_tpu.data import transforms
 from clipbert_tpu.models import clipbert
 from clipbert_tpu.train import optim, steps
@@ -416,7 +416,10 @@ def _train_loop(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
             tb.log_scalar_dict(perf, "perf")
             entry = {"step": global_step, "loss": last_loss, **perf}
             if spec.validate_fn is not None:
-                val_metrics = spec.validate_fn(state.params, eval_fn)
+                # multi-host: validation shards per host and runs on local
+                # devices with a local param copy (identity on one host)
+                val_params = localize_tree(mesh, state.params)
+                val_metrics = spec.validate_fn(val_params, eval_fn)
                 tb.log_scalar_dict(
                     {k: v for k, v in val_metrics.items()
                      if isinstance(v, (int, float))}, "valid")
@@ -443,16 +446,18 @@ def _restore_bundle(state) -> Dict:
 
 
 def _to_device_batch(batch: Dict, mesh, spec: TaskSpec, compute_dtype):
-    """Host batch -> device: shard on data axis, normalize pixels on device."""
-    from clipbert_tpu.core.mesh import data_shard
-    n_data = mesh.shape["data"]
+    """Host batch -> device: shard on data axis, normalize pixels on device.
+    Multi-host: each host's batch is its slice of the global batch."""
+    from clipbert_tpu.core.mesh import put_batch_sharded
+    n_data = (mesh.local_mesh.shape["data"] if jax.process_count() > 1
+              else mesh.shape["data"])
     dev = {}
     for k, v in batch.items():
         if isinstance(v, np.ndarray) and v.dtype != object:
             assert v.shape[0] % n_data == 0, (
                 f"train batch leading dim {v.shape[0]} for '{k}' must be "
-                f"divisible by the {n_data}-way data mesh axis")
-            dev[k] = jax.device_put(v, data_shard(mesh))
+                f"divisible by the {n_data}-way (local) data mesh axis")
+            dev[k] = put_batch_sharded(mesh, v)
         elif hasattr(v, "dtype"):       # already on device (PrefetchLoader)
             dev[k] = v
     if "visual_src_hw" in dev:
