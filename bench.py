@@ -96,7 +96,97 @@ def measure(params, cfg, num_clips: int, batch_videos: int) -> float:
     return best
 
 
+def measure_data_plane(params, device_rate: float, n_videos: int = 8):
+    """Decode-inclusive rates on REAL mp4 bytes (the north-star unit names
+    decode→ResNet→BERT, BASELINE.json; reference decode path
+    `/root/reference/src/datasets/decoder.py:203-283`):
+
+      decode_clips_per_sec — native C++ decode + dataset assembly, host only
+      h2d_MBps             — measured host->device bandwidth (one 64MB put)
+      e2e_clips_per_sec    — the production `inference_retrieval` pipeline
+                             (threaded decode → in-thread device_put →
+                             jitted device resize → cached encode → scoring)
+      binding_constraint   — which of {host-decode, h2d-transfer,
+                             device-compute} bounds e2e on THIS host
+
+    On the tunneled dev box the binding constraint is H2D (~30 MB/s
+    measured); production TPU hosts are PCIe-class, where decode cores per
+    chip bound instead (PARITY.md "Data plane").
+    """
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_dataplane import make_store
+
+    from clipbert_tpu.core.config import RunConfig
+    from clipbert_tpu.core.mesh import make_mesh
+    from clipbert_tpu.data import tokenization
+    from clipbert_tpu.data.datasets import VideoRetrievalEvalDataset
+    from clipbert_tpu.data.store import open_store
+    from clipbert_tpu.tasks.run_video_retrieval import inference_retrieval
+
+    tmp = tempfile.mkdtemp(prefix="bench_decode_")
+    store_path = os.path.join(tmp, "videos.cbpk")
+    make_store(store_path, n_videos)               # MSRVTT-shaped 320x240
+    vpath = os.path.join(tmp, "vocab.txt")
+    tokenization.write_tiny_vocab(
+        vpath, extra_tokens=["a", "person", "does", "thing"]
+        + [str(i) for i in range(10)])
+    tokenizer = tokenization.BertTokenizer(vpath)
+    datalist = [{"id": i, "txt": f"a person does thing {i}",
+                 "vid_id": f"vid{i}"} for i in range(n_videos)]
+
+    def make_ds(dl):
+        return VideoRetrievalEvalDataset(
+            dl, tokenizer, open_store(store_path), fps=1, num_frm=NUM_FRM,
+            max_img_size=IMG, max_txt_len=TXT_LEN, ensemble_n_clips=16,
+            device_preprocess=True)
+
+    ds = make_ds(datalist)
+    ds[0]                                          # decoder warmup
+    t0 = time.perf_counter()
+    bytes_per_clip = 0
+    for i in range(len(ds)):
+        bytes_per_clip = max(bytes_per_clip,
+                             ds[i]["vis"].nbytes / 16)
+    decode_rate = n_videos * 16 / (time.perf_counter() - t0)
+
+    buf = np.zeros(64 << 20, np.uint8)
+    jax.block_until_ready(jax.device_put(buf))     # warm the transfer path
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(buf))
+    h2d_mbps = (64 << 20) / (time.perf_counter() - t0) / 1e6
+    transfer_rate = h2d_mbps * 1e6 / bytes_per_clip
+
+    rcfg = RunConfig(loss_type="ce", num_labels=2, inference_n_clips=16,
+                     num_frm=NUM_FRM, max_img_size=IMG, max_txt_len=TXT_LEN,
+                     score_agg_func="lse", inference_batch_size=8,
+                     inference_video_batch_size=4,
+                     n_workers=max(4, os.cpu_count() or 1), fps=1)
+    model_cfg = ModelConfig(num_labels=2, loss_type="ce",
+                            score_agg_func="lse")
+    mesh = make_mesh()
+    import jax.numpy as jnp
+    inference_retrieval(rcfg, model_cfg, params, make_ds(datalist[:2]),
+                        mesh, jnp.bfloat16)        # compile warmup
+    t0 = time.perf_counter()
+    inference_retrieval(rcfg, model_cfg, params, ds, mesh, jnp.bfloat16)
+    e2e_rate = n_videos * 16 / (time.perf_counter() - t0)
+
+    stages = {"host-decode": decode_rate, "h2d-transfer": transfer_rate,
+              "device-compute": device_rate}
+    return {"decode_clips_per_sec": round(decode_rate, 2),
+            "h2d_MBps": round(h2d_mbps, 1),
+            "e2e_clips_per_sec": round(e2e_rate, 2),
+            "binding_constraint": min(stages, key=stages.get),
+            "host_cores": os.cpu_count()}
+
+
 def main():
+    import sys
     from clipbert_tpu.core import compile_cache
     compile_cache.enable()
     cfg = ModelConfig(num_labels=2, loss_type="ce", score_agg_func="lse")
@@ -107,12 +197,23 @@ def main():
     clips_16 = measure(params, cfg, num_clips=16, batch_videos=8)
     clips_1 = measure(params, cfg, num_clips=1, batch_videos=128)
 
+    # decode-inclusive fields; the headline `value` stays the device unit
+    # so rounds remain comparable. Never let the data-plane add-on break
+    # the artifact the driver captures.
+    try:
+        plane = measure_data_plane(params, device_rate=clips_16)
+    except Exception as e:                         # noqa: BLE001
+        print(f"# data-plane bench failed: {e!r}", file=sys.stderr)
+        plane = {"decode_clips_per_sec": None, "e2e_clips_per_sec": None,
+                 "binding_constraint": f"error:{type(e).__name__}"}
+
     print(json.dumps({
         "metric": "msrvtt_retrieval_16clip_clips_per_sec_per_chip",
         "value": round(clips_16, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_16 / V100_BASELINE_CLIPS_PER_SEC, 3),
         "value_1clip": round(clips_1, 2),
+        **plane,
     }))
 
 
