@@ -27,6 +27,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class GroupMeta(NamedTuple):
@@ -140,11 +141,64 @@ def clip_by_global_norm(grads, max_norm: float):
     return jax.tree.map(lambda g: g * coef.astype(g.dtype), grads), norm
 
 
+def _elementwise_update(pf, g, m, v, lr, wd, cfg: OptimConfig,
+                        bias_corr, t):
+    """The per-element optimizer math, shared by the per-leaf and the
+    group-fused paths (identical expressions -> bitwise-identical results).
+    All inputs fp32."""
+    b1, b2 = cfg.betas
+    if cfg.optim == "adamw":
+        # decoupled weight decay (reference adamw.py:60-101)
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * jnp.square(g)
+        pf = pf - lr * (m / (jnp.sqrt(v) + cfg.eps) * bias_corr)
+        if wd > 0:
+            pf = pf - lr * wd * pf
+    elif cfg.optim == "adam":
+        # torch.optim.Adam: L2 reg folded into the gradient
+        if wd > 0:
+            g = g + wd * pf
+        m = b1 * m + (1.0 - b1) * g
+        v = b2 * v + (1.0 - b2) * jnp.square(g)
+        pf = pf - lr * (m / (jnp.sqrt(v) + cfg.eps) * bias_corr)
+    elif cfg.optim == "adamax":
+        # torch.optim.Adamax: infinity-norm second moment
+        if wd > 0:
+            g = g + wd * pf
+        m = b1 * m + (1.0 - b1) * g
+        v = jnp.maximum(b2 * v, jnp.abs(g))
+        pf = pf - (lr / (1.0 - b1 ** t)) * (m / (v + cfg.eps))
+    else:
+        raise ValueError(f"unknown optim {cfg.optim}")
+    return pf, m, v
+
+
+def _bias_corr(cfg: OptimConfig, step):
+    b1, b2 = cfg.betas
+    t = step.astype(jnp.float32)
+    if cfg.correct_bias:
+        return jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t), t
+    return jnp.float32(1.0), t
+
+
 def adamw_update(params: Dict, grads: Dict, state: AdamWState,
                  meta: Dict, cfg: OptimConfig,
-                 lr_transformer, lr_cnn):
+                 lr_transformer, lr_cnn, fused: bool = True):
     """One AdamW step. lr_transformer / lr_cnn are (traced) scalars from
-    the schedules; per-leaf lr = base * lr_mul per its group."""
+    the schedules; per-leaf lr = base * lr_mul per its group.
+
+    ``fused=True`` (default) routes through the group-fused implementation
+    — one concatenated buffer per optimizer group instead of ~7 ops per
+    leaf x ~300 leaves. Measured on the real chip the per-leaf tree update
+    was 86 ms of a 149 ms train step (kernel-launch bound, not bandwidth);
+    the 8-group structure is exactly the uniform-hyperparameter boundary,
+    so fusion changes nothing mathematically (tested exact-equal). Keep
+    ``fused=False`` for tensor-parallel state shardings — concatenating
+    model-axis-sharded leaves would force gathers.
+    """
+    if fused:
+        return _adamw_update_fused(params, grads, state, meta, cfg,
+                                   lr_transformer, lr_cnn)
     # the reference clips amp master params = the 8 optimizer groups only
     # (optimization/utils.py:96-161; frozen BN pairs are torch buffers with
     # no grad there) — zero frozen leaves so they don't contribute to the
@@ -157,43 +211,15 @@ def adamw_update(params: Dict, grads: Dict, state: AdamWState,
         grad_norm_val = global_norm(grads)
 
     step = state.step + 1
-    b1, b2 = cfg.betas
-    if cfg.correct_bias:
-        t = step.astype(jnp.float32)
-        bias_corr = jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
-    else:
-        bias_corr = jnp.float32(1.0)
+    bias_corr, t = _bias_corr(cfg, step)
 
     def upd(p, g, m, v, gm: GroupMeta):
         if not gm.trainable:
             return p, m, v
-        g = g.astype(jnp.float32)
-        pf = p.astype(jnp.float32)
         lr = (lr_cnn if gm.use_cnn_lr else lr_transformer) * gm.lr_mul
-        if cfg.optim == "adamw":
-            # decoupled weight decay (reference adamw.py:60-101)
-            m = b1 * m + (1.0 - b1) * g
-            v = b2 * v + (1.0 - b2) * jnp.square(g)
-            pf = pf - lr * (m / (jnp.sqrt(v) + cfg.eps) * bias_corr)
-            if gm.weight_decay > 0:
-                pf = pf - lr * gm.weight_decay * pf
-        elif cfg.optim == "adam":
-            # torch.optim.Adam: L2 reg folded into the gradient
-            if gm.weight_decay > 0:
-                g = g + gm.weight_decay * pf
-            m = b1 * m + (1.0 - b1) * g
-            v = b2 * v + (1.0 - b2) * jnp.square(g)
-            pf = pf - lr * (m / (jnp.sqrt(v) + cfg.eps) * bias_corr)
-        elif cfg.optim == "adamax":
-            # torch.optim.Adamax: infinity-norm second moment
-            if gm.weight_decay > 0:
-                g = g + gm.weight_decay * pf
-            m = b1 * m + (1.0 - b1) * g
-            v = jnp.maximum(b2 * v, jnp.abs(g))
-            t = step.astype(jnp.float32)
-            pf = pf - (lr / (1.0 - b1 ** t)) * (m / (v + cfg.eps))
-        else:
-            raise ValueError(f"unknown optim {cfg.optim}")
+        pf, m, v = _elementwise_update(
+            p.astype(jnp.float32), g.astype(jnp.float32), m, v,
+            lr, gm.weight_decay, cfg, bias_corr, t)
         return pf.astype(p.dtype), m, v
 
     out = jax.tree.map(upd, params, grads, state.mu, state.nu, meta,
@@ -202,6 +228,98 @@ def adamw_update(params: Dict, grads: Dict, state: AdamWState,
     inner = jax.tree.structure((0, 0, 0))
     new_params, new_mu, new_nu = jax.tree_util.tree_transpose(outer, inner, out)
     return new_params, AdamWState(step, new_mu, new_nu), grad_norm_val
+
+
+# Leaves at or above this many elements update in their NATIVE shape (one
+# fused kernel each — they're few: stacked BERT kernels, big convs,
+# embeddings); only the long tail of small leaves (biases, LN/BN pairs,
+# 1x1 convs) concatenates per group. Concatenating everything into one
+# >100M-element vector triggered a pathological XLA layout on TPU (the
+# vector reshaped to [N/2, 2] and tile-padded (8,128) -> 64x memory, a
+# 28 GB compile-time allocation); native-shape updates for the big leaves
+# keep their layouts while still collapsing ~2000 per-leaf kernels to ~60.
+_FUSE_CONCAT_MAX_ELEMS = 1 << 20
+
+
+def _adamw_update_fused(params: Dict, grads: Dict, state: AdamWState,
+                        meta: Dict, cfg: OptimConfig, lr_transformer, lr_cnn):
+    """Group-fused update: big leaves update in native shape, small leaves
+    concatenate into one fp32 vector per optimizer group — ~8 bag kernels
+    + ~30 big-leaf kernels instead of ~7 ops x ~300 leaves. The clip norm
+    comes from the same partials (frozen leaves excluded — the value the
+    per-leaf path computes over zeroed frozen grads, modulo summation
+    order). State schema is unchanged: moments stay per-leaf trees."""
+    leaves_p, treedef = jax.tree_util.tree_flatten(params)
+    leaves_g = jax.tree.leaves(grads)
+    leaves_m = jax.tree.leaves(state.mu)
+    leaves_v = jax.tree.leaves(state.nu)
+    metas = jax.tree.leaves(
+        meta, is_leaf=lambda x: isinstance(x, GroupMeta))
+    assert len(leaves_p) == len(metas)
+
+    groups: Dict[int, list] = {}
+    big: list = []
+    for i, gm in enumerate(metas):
+        if not gm.trainable:
+            continue
+        if leaves_p[i].size >= _FUSE_CONCAT_MAX_ELEMS:
+            big.append(i)
+        else:
+            groups.setdefault(gm.group_id, []).append(i)
+    if not groups and not big:          # fully-frozen model: no-op update
+        return params, AdamWState(state.step + 1, state.mu, state.nu), \
+            jnp.float32(0.0)
+
+    def cat(leaves, idxs):
+        return jnp.concatenate(
+            [leaves[i].astype(jnp.float32).ravel() for i in idxs])
+
+    gvecs = {gid: cat(leaves_g, idxs) for gid, idxs in groups.items()}
+    gbig = {i: leaves_g[i].astype(jnp.float32) for i in big}
+    sq = [jnp.sum(jnp.square(g)) for g in gvecs.values()]
+    sq += [jnp.sum(jnp.square(g)) for g in gbig.values()]
+    norm = jnp.sqrt(jnp.sum(jnp.stack(sq)))
+    if cfg.grad_norm is not None and cfg.grad_norm > 0:
+        coef = jnp.minimum(1.0, cfg.grad_norm / (norm + 1e-6))
+    else:
+        coef = jnp.float32(1.0)
+
+    step = state.step + 1
+    bias_corr, t = _bias_corr(cfg, step)
+
+    def lr_of(gm):
+        return (lr_cnn if gm.use_cnn_lr else lr_transformer) * gm.lr_mul
+
+    new_p = list(leaves_p)
+    new_m = list(leaves_m)
+    new_v = list(leaves_v)
+    for i in big:
+        gm = metas[i]
+        pf, m2, v2 = _elementwise_update(
+            leaves_p[i].astype(jnp.float32), gbig[i] * coef,
+            leaves_m[i], leaves_v[i], lr_of(gm), gm.weight_decay, cfg,
+            bias_corr, t)
+        new_p[i] = pf.astype(leaves_p[i].dtype)
+        new_m[i], new_v[i] = m2, v2
+    for gid, idxs in groups.items():
+        gm0 = metas[idxs[0]]
+        pv, mv, vv = cat(leaves_p, idxs), cat(leaves_m, idxs), \
+            cat(leaves_v, idxs)
+        pv2, mv2, vv2 = _elementwise_update(
+            pv, gvecs[gid] * coef, mv, vv, lr_of(gm0), gm0.weight_decay,
+            cfg, bias_corr, t)
+        sizes = np.cumsum([leaves_p[i].size for i in idxs])[:-1]
+        for i, pc, mc, vc in zip(idxs, jnp.split(pv2, sizes),
+                                 jnp.split(mv2, sizes),
+                                 jnp.split(vv2, sizes)):
+            new_p[i] = pc.reshape(leaves_p[i].shape).astype(
+                leaves_p[i].dtype)
+            new_m[i] = mc.reshape(leaves_m[i].shape)
+            new_v[i] = vc.reshape(leaves_v[i].shape)
+
+    unflatten = treedef.unflatten
+    return unflatten(new_p), AdamWState(step, unflatten(new_m),
+                                        unflatten(new_v)), norm
 
 
 def count_groups(meta: Dict) -> Dict[int, int]:

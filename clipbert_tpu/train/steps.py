@@ -289,7 +289,8 @@ def make_train_step(cfg: ModelConfig, ts: TaskSettings, oc: OptimConfig,
                     mesh: Optional[Mesh] = None,
                     accum_steps: int = 1,
                     compute_dtype=jnp.bfloat16,
-                    state_shardings=None) -> Callable:
+                    state_shardings=None,
+                    jit_compile: bool = True) -> Callable:
     """Build the jitted train step.
 
     step(state, batch, key) -> (state, metrics). With accum_steps > 1 every
@@ -330,11 +331,21 @@ def make_train_step(cfg: ModelConfig, ts: TaskSettings, oc: OptimConfig,
         # (run_video_qa.py:515-525: global_step += 1 then get_lr_sched);
         # opt.step is the count of completed updates, so this one is step+1
         lr_t, lr_c = ss.lrs(state.opt.step + 1)
+        # group-fused update except under tensor-parallel state shardings
+        # (concatenating model-axis-sharded leaves would force gathers)
         new_params, new_opt, grad_norm = optim.adamw_update(
-            state.params, grads, state.opt, meta, oc, lr_t, lr_c)
+            state.params, grads, state.opt, meta, oc, lr_t, lr_c,
+            fused=state_shardings is None)
         metrics = dict(metrics, loss=loss, grad_norm=grad_norm,
                        lr=lr_t, cnn_lr=lr_c)
         return TrainState(new_params, new_opt), metrics
+
+    if not jit_compile:
+        # raw traceable step — callers embed it in their own jitted program
+        # (e.g. scripts/bench_train_step.py scans it on-device: the remote
+        # platform defers unfetched per-call executions, so a scanned chain
+        # with one scalar fetch is the only honest multi-step clock)
+        return step
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))

@@ -1,19 +1,20 @@
 """Train-step efficiency on the real chip: clips/s, TF/s, MFU, and a
 component breakdown naming the top time sinks.
 
-Measures the FULL jitted train step (MIL forward over clips + LSE loss +
-backward + 8-group AdamW + schedules, `train/steps.py::make_train_step`) at
-the MSRVTT retrieval train shape (`configs/msrvtt_ret_base_resnet50.json`:
+Measures the FULL train step (MIL forward over clips + LSE loss + backward
++ 8-group AdamW + schedules, `train/steps.py::make_train_step`) at the
+MSRVTT retrieval train shape (`configs/msrvtt_ret_base_resnet50.json`:
 8 clips x 2 frames @ 448^2, group 2 = 1 pos + 1 neg caption), bf16, one
 chip. FLOPs come from XLA's own cost analysis of the compiled program
 (fallback: analytic model documented inline), so TF/s is not hostage to a
 hand FLOP count.
 
-Component programs (fwd-only, fwd+bwd, full step, CNN-only fwd) are timed
-separately to attribute the step time. Methodology per CLAUDE.md: chained
-dispatches with ONE final scalar fetch (the remote platform defers
-unfetched executions; per-fetch RTT would otherwise dominate), best of 2
-repeats.
+Timing methodology (CLAUDE.md "axon timing pitfalls"): the remote platform
+defers unfetched executions and `block_until_ready` is unreliable, so every
+measurement is a `lax.scan` of N iterations INSIDE one jitted program whose
+body depends on the carry (train steps thread the evolving TrainState;
+forward-only programs perturb the pixels by carry*1e-30), with ONE scalar
+fetched at the end. Best of 2 repeats.
 
 Run on the real TPU with the box otherwise idle:
     python scripts/bench_train_step.py
@@ -46,11 +47,11 @@ NUM_FRM = 2
 IMG = 448
 TXT_LEN = 20
 GROUP = 2
-STEPS = 10
+STEPS = 8
 REPS = 2
 
 # Chip peak for MFU: measured dense bf16 matmul ceiling on this chip
-# (CLAUDE.md "Chip calibration"); use the hardware figure if known higher.
+# (CLAUDE.md "Chip calibration").
 CHIP_PEAK_TFS = 92.0
 
 # V100 training baseline estimate (same method as bench.py's inference
@@ -80,17 +81,17 @@ def make_batch(batch_videos: int, rng):
     }
 
 
-def timed_chain(fn, n, fetch, *args):
-    """Dispatch fn n times back-to-back, fetch ONE scalar at the end."""
-    out = fetch(fn(*args))
-    jax.block_until_ready(out)      # warmup/compile
+def time_scalar_program(fn, *args):
+    """fn(*args) -> scalar jax value: compile+warm once, then time the
+    fetch-to-scalar of REPS more runs, best-of."""
+    acc = float(np.asarray(fn(*args)))
+    assert np.isfinite(acc), acc
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        for _ in range(n):
-            out = fetch(fn(*args))
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n)
+        acc = float(np.asarray(fn(*args)))
+        best = min(best, time.perf_counter() - t0)
+        assert np.isfinite(acc)
     return best
 
 
@@ -104,35 +105,35 @@ def xla_flops(jitted, *args):
         return None
 
 
-def bench_step(cfg, ts, oc, ss, batch_videos: int):
+def bench_step(cfg, ts, oc, ss, meta_for, batch_videos: int):
     rng = np.random.default_rng(0)
     params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
-    meta = optim.build_group_meta(params, oc)
-    state = steps.init_train_state(params)
-    step_fn = steps.make_train_step(cfg, ts, oc, ss, meta,
-                                    compute_dtype=jnp.bfloat16)
+    meta = meta_for(params)
+    state = jax.device_put(steps.init_train_state(params))
+    raw_step = steps.make_train_step(cfg, ts, oc, ss, meta,
+                                     compute_dtype=jnp.bfloat16,
+                                     jit_compile=False)
     batch = jax.device_put(make_batch(batch_videos, rng))
-    key = jax.random.key(1)
 
-    flops = xla_flops(step_fn, state, batch, key)
+    @jax.jit
+    def loop(state, batch, key):
+        def body(carry, i):
+            st, _ = raw_step(carry, batch, jax.random.fold_in(key, i))
+            return st, None
+        st, _ = jax.lax.scan(body, state, jnp.arange(STEPS))
+        # one scalar that depends on the final state forces the whole chain
+        return st.opt.step.astype(jnp.float32) + \
+            jax.tree.leaves(st.params)[0].astype(jnp.float32).ravel()[0]
 
-    # chained steps: donation threads the state through; the batch is
-    # reused (weights change every step, so nothing hoists)
-    st = state
-    st, m = step_fn(st, batch, key)
-    jax.block_until_ready(m["loss"])  # compile + warmup (st donated ok)
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        s = st
-        for _ in range(STEPS):
-            s, m = step_fn(s, batch, key)
-        jax.block_until_ready(m["loss"])
-        best = min(best, (time.perf_counter() - t0) / STEPS)
-        st = s
+    # cost-analyze the FULL step (new state + metrics as outputs) — lowering
+    # only the loss would let XLA dead-code-eliminate backward + optimizer
+    one = jax.jit(lambda s, b, k: raw_step(s, b, k))
+    step_flops = xla_flops(one, state, batch, jax.random.key(1))
+
+    total = time_scalar_program(loop, state, batch, jax.random.key(1))
+    sec_per_step = total / STEPS
     clips = batch_videos * N_CLIPS
-    sec_per_step = best
-    tfs = (flops / sec_per_step / 1e12) if flops else \
+    tfs = (step_flops / sec_per_step / 1e12) if step_flops else \
         clips * TRAIN_GF_PER_CLIP / sec_per_step / 1e3
     return {
         "batch_videos": batch_videos,
@@ -141,52 +142,89 @@ def bench_step(cfg, ts, oc, ss, batch_videos: int):
         "sec_per_step": round(sec_per_step, 4),
         "tf_per_sec": round(tfs, 1),
         "mfu_vs_chip_ceiling": round(tfs / CHIP_PEAK_TFS, 3),
-        "flops_source": "xla_cost_analysis" if flops else "analytic",
+        "flops_source": ("xla_cost_analysis" if step_flops else "analytic"),
         "vs_v100_train_est": round(
             clips / sec_per_step / V100_TRAIN_CLIPS_PER_SEC, 2),
     }
 
 
-def bench_components(cfg, ts, oc, ss, batch_videos: int):
-    """Attribute the step: CNN fwd, full fwd(+loss), fwd+bwd, full step."""
+def bench_components(cfg, ts, oc, ss, meta_for, batch_videos: int):
+    """Attribute the step: CNN fwd, full fwd(+loss), fwd+bwd, full step —
+    each its own scanned on-device loop with a carry-dependent body."""
     rng = np.random.default_rng(0)
-    params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
-    params = jax.device_put(params)
-    meta = optim.build_group_meta(params, oc)
+    params = jax.device_put(
+        clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval"))
+    meta = meta_for(params)
     batch = jax.device_put(make_batch(batch_videos, rng))
     key = jax.random.key(1)
 
-    @jax.jit
-    def cnn_fwd(p, b):
-        return clipbert.cnn_forward(
-            p["cnn"], b["visual_inputs"], jnp.bfloat16).sum()
+    def perturbed(b, carry):
+        b = dict(b)
+        b["visual_inputs"] = (b["visual_inputs"]
+                              + (carry * 1e-30).astype(jnp.bfloat16))
+        return b
 
     def loss_fn(p, b, k):
         loss, _ = steps.compute_loss(p, cfg, ts, b, k, True, jnp.bfloat16)
         return loss
 
-    fwd = jax.jit(loss_fn)
-    grad = jax.jit(jax.grad(loss_fn))
+    @jax.jit
+    def cnn_loop(p, b):
+        def body(carry, _):
+            f = clipbert.cnn_forward(p["cnn"],
+                                     perturbed(b, carry)["visual_inputs"],
+                                     jnp.bfloat16)
+            return f.astype(jnp.float32).sum(), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=STEPS)
+        return acc
 
-    state = steps.init_train_state(params)
-    step_fn = steps.make_train_step(cfg, ts, oc, ss, meta,
-                                    compute_dtype=jnp.bfloat16)
+    @jax.jit
+    def fwd_loop(p, b, k):
+        def body(carry, i):
+            l = loss_fn(p, perturbed(b, carry), jax.random.fold_in(k, i))
+            return l.astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(STEPS))
+        return acc
+
+    @jax.jit
+    def grad_loop(p, b, k):
+        def body(carry, i):
+            g = jax.grad(loss_fn)(p, perturbed(b, carry),
+                                  jax.random.fold_in(k, i))
+            # consume EVERY gradient leaf — fetching just one would let XLA
+            # dead-code-eliminate most of the weight-gradient computation
+            # (measured: that undercounted fwd+bwd by ~2.3x)
+            acc = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree.leaves(g))
+            return acc, None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(STEPS))
+        return acc
+
+    raw_step = steps.make_train_step(cfg, ts, oc, ss, meta,
+                                     compute_dtype=jnp.bfloat16,
+                                     jit_compile=False)
+    state = jax.device_put(steps.init_train_state(params))
+
+    @jax.jit
+    def step_loop(st, b, k):
+        def body(carry, i):
+            s2, _ = raw_step(carry, b, jax.random.fold_in(k, i))
+            return s2, None
+        st, _ = jax.lax.scan(body, st, jnp.arange(STEPS))
+        return jax.tree.leaves(st.params)[0].astype(jnp.float32).ravel()[0]
 
     out = {}
-    out["cnn_fwd_s"] = timed_chain(cnn_fwd, 6, lambda x: x, params, batch)
-    out["fwd_s"] = timed_chain(fwd, 6, lambda x: x, params, batch, key)
-    out["fwd_bwd_s"] = timed_chain(
-        grad, 4, lambda g: jax.tree.leaves(g)[0].ravel()[0],
-        params, batch, key)
-
-    st, m = step_fn(state, batch, key)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(4):
-        st, m = step_fn(st, batch, key)
-    jax.block_until_ready(m["loss"])
-    out["full_step_s"] = (time.perf_counter() - t0) / 4
-
+    # clear executables between programs: four live full-model programs
+    # (each holding grads + activation workspaces) exceed HBM together
+    out["cnn_fwd_s"] = time_scalar_program(cnn_loop, params, batch) / STEPS
+    jax.clear_caches()
+    out["fwd_s"] = time_scalar_program(fwd_loop, params, batch, key) / STEPS
+    jax.clear_caches()
+    out["fwd_bwd_s"] = time_scalar_program(
+        grad_loop, params, batch, key) / STEPS
+    jax.clear_caches()
+    out["full_step_s"] = time_scalar_program(
+        step_loop, state, batch, key) / STEPS
     out = {k: round(v, 4) for k, v in out.items()}
     out["bert_fwd_s"] = round(out["fwd_s"] - out["cnn_fwd_s"], 4)
     out["bwd_s"] = round(out["fwd_bwd_s"] - out["fwd_s"], 4)
@@ -201,6 +239,9 @@ def main():
     oc = optim.OptimConfig()
     ss = steps.ScheduleSettings(num_train_steps=10000)
 
+    def meta_for(params):
+        return optim.build_group_meta(params, oc)
+
     def ts(remat):
         return steps.TaskSettings(
             head_type="retrieval", num_labels=2, loss_type="ce",
@@ -209,14 +250,15 @@ def main():
 
     for bv, remat in ((4, False), (8, True), (16, True)):
         try:
-            print(json.dumps(bench_step(cfg, ts(remat), oc, ss, bv)),
-                  flush=True)
+            print(json.dumps(
+                bench_step(cfg, ts(remat), oc, ss, meta_for, bv)),
+                flush=True)
         except Exception as e:   # OOM documents itself
             print(json.dumps({"batch_videos": bv, "remat": remat,
                               "error": type(e).__name__}), flush=True)
 
     print(json.dumps({"components": bench_components(
-        cfg, ts(False), oc, ss, 4)}), flush=True)
+        cfg, ts(False), oc, ss, meta_for, 4)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -209,3 +209,56 @@ def test_first_step_lr_matches_reference_schedule():
     _, metrics = step_fn(state, batch, jax.random.key(1))
     # warmup_linear(1, 10, 100) = 1/10 -> lr = 1e-4 (NOT the 1e-8 floor)
     np.testing.assert_allclose(float(metrics["lr"]), 1e-4, rtol=1e-5)
+
+
+@pytest.mark.parametrize("opt_name", ["adamw", "adam", "adamax"])
+def test_fused_update_exactly_matches_per_leaf(opt_name):
+    """The group-fused update (one concatenated buffer per optimizer group,
+    the production default) must match the per-leaf oracle across several
+    steps, for every optimizer family, with frozen leaves, lr_mul prefix
+    groups, and clipping in play. The per-element math is the shared
+    _elementwise_update, so the only permitted difference is the global-
+    norm reduction order (per-leaf partials vs per-group vectors): one ulp
+    on the clip coefficient."""
+    rng = np.random.default_rng(3)
+
+    def rand_tree(template):
+        return jax.tree.map(
+            lambda x: jnp.asarray(rng.normal(0, 1, x.shape), jnp.float32),
+            template)
+
+    params = rand_tree(_toy_params())
+    cfg = optim.OptimConfig(optim=opt_name, learning_rate=1e-3,
+                            cnn_learning_rate=2e-3, weight_decay=0.01,
+                            cnn_weight_decay=0.02, grad_norm=1.0,
+                            transformer_lr_mul=2.0,
+                            transformer_lr_mul_prefix="classifier")
+    meta = optim.build_group_meta(params, cfg)
+
+    # cover BOTH fused paths: with the tiny toy leaves, a threshold of 8
+    # elements routes the (4,4) kernels through the native-shape big-leaf
+    # path and the biases through the per-group concat path
+    monkey_thresh = getattr(
+        test_fused_update_exactly_matches_per_leaf, "_thresh", 8)
+    orig_thresh = optim._FUSE_CONCAT_MAX_ELEMS
+    optim._FUSE_CONCAT_MAX_ELEMS = monkey_thresh
+
+    s_ref = optim.init_adamw_state(params)
+    s_fused = optim.init_adamw_state(params)
+    p_ref = p_fused = params
+    for step in range(3):
+        grads = rand_tree(params)
+        p_ref, s_ref, n_ref = optim.adamw_update(
+            p_ref, grads, s_ref, meta, cfg, jnp.float32(1e-3),
+            jnp.float32(2e-3), fused=False)
+        p_fused, s_fused, n_fused = optim.adamw_update(
+            p_fused, grads, s_fused, meta, cfg, jnp.float32(1e-3),
+            jnp.float32(2e-3), fused=True)
+        np.testing.assert_allclose(float(n_ref), float(n_fused), rtol=1e-6)
+        for ta, tb in ((p_ref, p_fused), (s_ref.mu, s_fused.mu),
+                       (s_ref.nu, s_fused.nu)):
+            for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=2e-6, atol=1e-7)
+    assert int(s_fused.step) == 3
+    optim._FUSE_CONCAT_MAX_ELEMS = orig_thresh
