@@ -1,0 +1,261 @@
+"""Serving path: single-query video-text scoring with bounded latency.
+
+The reference has no serving story (its inference entry rebuilds loaders
+and writes files, `/root/reference/src/tasks/run_video_retrieval.py:737+`);
+production deployment needs a resident scorer. This module provides one,
+TPU-first:
+
+ - :class:`RetrievalScorer` — params resident on device with frozen-BN
+   scales folded, ONE pre-compiled program per (clip-config, caption
+   bucket): decode -> jitted device resize/pad/normalize -> cached visual
+   encode -> joint scoring. Static shapes via caption-count buckets
+   (powers of two up to ``max_captions``), so steady-state queries never
+   recompile.
+ - a stdlib-only JSON-over-HTTP endpoint (``python -m clipbert_tpu.serve``)
+   for smoke deployments: POST /score {"video_b64", "captions"} ->
+   {"probs"}. Production fleets should wrap RetrievalScorer in their own
+   server; the class is thread-safe for readers (params are never
+   mutated).
+
+Latency knobs that matter on real hosts: ``n_clips=1`` is the low-latency
+configuration (the reference's own recommendation for speed,
+README.md:109-124); decode runs on the host thread; the H2D transfer
+ships native-size uint8 (device resize) rather than 448^2 floats.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from clipbert_tpu.core.config import ModelConfig
+from clipbert_tpu.data import transforms, video
+from clipbert_tpu.data.tokenization import BertTokenizer
+from clipbert_tpu.models import clipbert
+from clipbert_tpu.train import steps
+from clipbert_tpu.utils.logger import LOGGER
+
+
+class RetrievalScorer:
+    """Resident single-video scorer (retrieval/ce head).
+
+    score(video_bytes, captions) -> per-caption positive-class
+    probabilities, pooled over ``n_clips`` uniform clips by
+    ``score_agg_func`` — the exact eval-protocol math
+    (tests/test_retrieval_protocol_parity.py pins it).
+    """
+
+    def __init__(self, params, model_cfg: ModelConfig,
+                 tokenizer: BertTokenizer, *, num_frm: int = 2,
+                 n_clips: int = 1, fps: float = 1.0,
+                 max_img_size: int = 448, max_txt_len: int = 20,
+                 max_captions: int = 32, score_agg_func: str = "lse",
+                 mean=transforms.IMAGENET_MEAN_255,
+                 std=transforms.IMAGENET_STD_1,
+                 compute_dtype=jnp.bfloat16, fold_bn: bool = True):
+        if fold_bn:
+            params = clipbert.fold_cnn_bn_scales(params)
+        self.params = jax.device_put(params)
+        self.model_cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.num_frm = num_frm
+        self.n_clips = n_clips
+        self.fps = fps
+        self.max_img_size = max_img_size
+        self.max_txt_len = max_txt_len
+        self.max_captions = max_captions
+        self.score_agg_func = score_agg_func
+        self.mean, self.std = mean, std
+        self.compute_dtype = compute_dtype
+        ts = steps.TaskSettings(
+            head_type="retrieval", num_labels=model_cfg.num_labels,
+            loss_type=model_cfg.loss_type, score_agg_func=score_agg_func,
+            train_n_clips=n_clips, group_size=1)
+        self._encode = steps.make_visual_encode_step(
+            compute_dtype=compute_dtype)
+        self._score = steps.make_text_score_step(
+            model_cfg, ts, compute_dtype=compute_dtype)
+
+    # -- factories ----------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, model_config_path: str, tokenizer_dir: str,
+                        e2e_weights_path: str, **kw) -> "RetrievalScorer":
+        """Load a deployment checkpoint (.npz) or a reference .pt through
+        the standard import path (trainer.setup_model)."""
+        from clipbert_tpu.core.config import RunConfig
+        from clipbert_tpu.train import trainer
+        model_cfg = ModelConfig.from_json(
+            model_config_path, num_labels=2, loss_type="ce")
+        run_cfg = RunConfig(model_config=model_config_path,
+                            e2e_weights_path=e2e_weights_path)
+        params = trainer.setup_model(run_cfg, model_cfg, "retrieval")
+        tok = BertTokenizer.from_dir(tokenizer_dir)
+        return cls(params, model_cfg, tok, **kw)
+
+    # -- internals ----------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(max(b, 4), self.max_captions)
+
+    def _decode_clips(self, video_bytes: bytes) -> Optional[np.ndarray]:
+        """(n_clips*num_frm, H, W, 3) uint8, uniform clip ensemble (the
+        eval protocol), prev-clip fallback on partial decode failure."""
+        clips, prev = [], None
+        for i in range(self.n_clips):
+            c = video.decode_clip(
+                video_bytes, num_frames=self.num_frm, target_fps=self.fps,
+                sampling_strategy="uniform", num_clips=self.n_clips,
+                clip_idx=i)
+            if c is None:
+                c = prev
+            if c is None:
+                return None
+            prev = c
+            clips.append(c)
+        return np.concatenate(clips, axis=0)
+
+    def encode_video(self, video_bytes: bytes):
+        """Decode + device resize + CNN encode: cached grid features
+        (1, n_clips, T', Hg, Wg, D). Reuse across many score() calls via
+        the ``features=`` argument."""
+        frames = self._decode_clips(video_bytes)
+        if frames is None:
+            raise ValueError("undecodable video payload")
+        h, w = frames.shape[1:3]
+        nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
+        src_hw = np.array([[h, w, nh, nw]], np.int32)
+        pixels = transforms.device_preprocess(
+            frames[None], src_hw, self.max_img_size, self.mean, self.std,
+            self.compute_dtype)
+        # (1, n_clips*T, S, S, 3) -> (n_clips, T, S, S, 3)
+        pixels = pixels.reshape((self.n_clips, self.num_frm)
+                                + pixels.shape[2:])
+        feats = self._encode(self.params, pixels)
+        return feats.reshape((1,) + feats.shape)
+
+    def score(self, video_bytes: Optional[bytes],
+              captions: Sequence[str], features=None) -> np.ndarray:
+        """Per-caption positive probabilities (len(captions),)."""
+        assert captions, "need at least one caption"
+        assert len(captions) <= self.max_captions, (
+            f"{len(captions)} captions > max_captions={self.max_captions}; "
+            "raise max_captions at construction or chunk the query")
+        if features is None:
+            features = self.encode_video(video_bytes)
+        n = len(captions)
+        bucket = self._bucket(n)
+        enc = self.tokenizer.batch_encode(list(captions), self.max_txt_len)
+        ids = np.zeros((bucket, self.max_txt_len), np.int32)
+        mask = np.zeros((bucket, self.max_txt_len), np.int32)
+        ids[:n] = enc["input_ids"]
+        mask[:n] = enc["attention_mask"]
+        clip_logits = self._score(self.params, features,
+                                  jnp.asarray(ids), jnp.asarray(mask))
+        pooled = np.asarray(steps.pool_clip_logits(
+            clip_logits.reshape((-1,) + clip_logits.shape[2:]),
+            self.score_agg_func)).reshape(bucket, -1)
+        if self.model_cfg.loss_type == "ce":
+            e = np.exp(pooled - pooled.max(-1, keepdims=True))
+            probs = (e / e.sum(-1, keepdims=True))[:, 1]
+        else:
+            probs = 1.0 / (1.0 + np.exp(-pooled[:, 0]))
+        return probs[:n]
+
+    def warmup(self, sample_hw=(240, 320)) -> None:
+        """Compile every steady-state program (encode + all caption
+        buckets) before taking traffic."""
+        h, w = sample_hw
+        frames = np.zeros((self.n_clips * self.num_frm, h, w, 3), np.uint8)
+        blob = video.encode_jseq_from_array(frames, fps=max(self.fps, 1.0))
+        feats = self.encode_video(blob)
+        b = 4
+        while True:
+            self.score(None, ["warmup"] * min(b, self.max_captions),
+                       features=feats)
+            if b >= self.max_captions:
+                break
+            b *= 2
+        LOGGER.info("RetrievalScorer warm: encode + caption buckets ready")
+
+
+# ---------------------------------------------------------------------------
+# stdlib HTTP endpoint (smoke deployments / tests)
+# ---------------------------------------------------------------------------
+
+def make_http_server(scorer: RetrievalScorer, host: str = "127.0.0.1",
+                     port: int = 8477):
+    """POST /score {"video_b64": ..., "captions": [...]}
+    -> 200 {"probs": [...]}; GET /healthz -> 200 "ok"."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):       # quiet; LOGGER handles app logs
+            pass
+
+        def _reply(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                probs = scorer.score(
+                    base64.b64decode(req["video_b64"]),
+                    [str(c) for c in req["captions"]])
+                self._reply(200, {"probs": [float(p) for p in probs]})
+            except Exception as e:      # noqa: BLE001 — serving boundary
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv: Optional[List[str]] = None):
+    import argparse
+    ap = argparse.ArgumentParser(description="clipbert_tpu scoring server")
+    ap.add_argument("--model_config", required=True)
+    ap.add_argument("--tokenizer_dir", required=True)
+    ap.add_argument("--e2e_weights_path", required=True)
+    ap.add_argument("--port", type=int, default=8477)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--n_clips", type=int, default=1)
+    ap.add_argument("--num_frm", type=int, default=2)
+    ap.add_argument("--fps", type=float, default=1.0)
+    ap.add_argument("--max_img_size", type=int, default=448)
+    ap.add_argument("--max_captions", type=int, default=32)
+    args = ap.parse_args(argv)
+    scorer = RetrievalScorer.from_checkpoint(
+        args.model_config, args.tokenizer_dir, args.e2e_weights_path,
+        n_clips=args.n_clips, num_frm=args.num_frm, fps=args.fps,
+        max_img_size=args.max_img_size, max_captions=args.max_captions)
+    scorer.warmup()
+    server = make_http_server(scorer, args.host, args.port)
+    LOGGER.info(f"serving on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Serving-path tests: RetrievalScorer correctness + the HTTP endpoint.
+
+The scorer must produce the SAME probabilities as the eval-protocol math
+(mil_forward + pooling + softmax) on identical pixels, independent of the
+caption-bucket padding, and survive the JSON-over-HTTP round trip.
+"""
+
+import base64
+import json
+import socket
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clipbert_tpu.core.config import ModelConfig
+from clipbert_tpu.core.rng import RngGen
+from clipbert_tpu.data import tokenization, transforms, video
+from clipbert_tpu.models import clipbert
+from clipbert_tpu.serve import RetrievalScorer, make_http_server
+from clipbert_tpu.train import steps
+
+import jax
+
+N_CLIPS = 2
+NUM_FRM = 2
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve")
+    vocab = root / "vocab.txt"
+    tokenization.write_tiny_vocab(
+        str(vocab), extra_tokens=["cat", "dog", "runs", "a", "the"])
+    tok = tokenization.BertTokenizer(str(vocab))
+    cfg = ModelConfig(
+        vocab_size=len(tok), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, max_grid_row_position_embeddings=4,
+        max_grid_col_position_embeddings=4, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, num_labels=2, loss_type="ce",
+        score_agg_func="lse")
+    params = clipbert.init_clipbert(jax.random.key(5), cfg, "retrieval")
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 255, (12, 48, IMG, 3)).astype(np.uint8)
+    blob = video.encode_jseq_from_array(frames, fps=8)
+    scorer = RetrievalScorer(
+        params, cfg, tok, num_frm=NUM_FRM, n_clips=N_CLIPS, fps=4,
+        max_img_size=IMG, max_txt_len=8, max_captions=8,
+        compute_dtype=jnp.float32)
+    return {"scorer": scorer, "blob": blob, "cfg": cfg, "tok": tok}
+
+
+def test_score_matches_eval_protocol_math(setup):
+    """Scorer probs == mil_forward + pool + softmax on the same pixels."""
+    sc, blob, cfg = setup["scorer"], setup["blob"], setup["cfg"]
+    caps = ["a cat runs", "the dog", "a dog"]
+    probs = sc.score(blob, caps)
+    assert probs.shape == (3,)
+    assert np.isfinite(probs).all() and (0 <= probs).all() and \
+        (probs <= 1).all()
+
+    frames = sc._decode_clips(blob)
+    h, w = frames.shape[1:3]
+    nh, nw = transforms.get_resize_size(h, w, IMG)
+    pixels = transforms.device_preprocess(
+        frames[None], np.array([[h, w, nh, nw]], np.int32), IMG,
+        sc.mean, sc.std, jnp.float32)          # (1, nc*T, S, S, 3)
+    enc = setup["tok"].batch_encode(caps, 8)
+    ts = steps.TaskSettings(head_type="retrieval", num_labels=2,
+                            loss_type="ce", score_agg_func="lse",
+                            train_n_clips=N_CLIPS, group_size=3)
+    batch = {"visual_inputs": pixels,
+             "text_input_ids": jnp.asarray(enc["input_ids"]),
+             "text_input_mask": jnp.asarray(enc["attention_mask"])}
+    clip_logits = steps.mil_forward(sc.params, cfg, ts, batch, RngGen(None),
+                                    False, jnp.float32)
+    pooled = np.asarray(steps.pool_clip_logits(clip_logits, "lse"))
+    e = np.exp(pooled - pooled.max(-1, keepdims=True))
+    want = (e / e.sum(-1, keepdims=True))[:, 1]
+    np.testing.assert_allclose(probs, want, rtol=2e-4, atol=2e-5)
+
+
+def test_bucket_padding_independent(setup):
+    """Padding captions to the bucket size must not change real scores,
+    and cached features must reproduce the bytes path."""
+    sc, blob = setup["scorer"], setup["blob"]
+    caps = ["a cat runs", "the dog", "a dog"]
+    p3 = sc.score(blob, caps)                       # bucket 4
+    p5 = sc.score(blob, caps + ["cat", "the cat"])  # bucket 8
+    np.testing.assert_allclose(p3, p5[:3], rtol=1e-5, atol=1e-6)
+
+    feats = sc.encode_video(blob)
+    p_feats = sc.score(None, caps, features=feats)
+    np.testing.assert_allclose(p3, p_feats, rtol=1e-6)
+
+    with pytest.raises(AssertionError):
+        sc.score(blob, ["x"] * 9)                   # > max_captions
+
+    with pytest.raises(ValueError):
+        sc.encode_video(b"not a video")
+
+
+def test_http_endpoint_round_trip(setup):
+    sc, blob = setup["scorer"], setup["blob"]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = make_http_server(sc, "127.0.0.1", port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        caps = ["a cat runs", "the dog"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({
+                "video_b64": base64.b64encode(blob).decode(),
+                "captions": caps}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            probs = json.loads(r.read())["probs"]
+        np.testing.assert_allclose(probs, sc.score(blob, caps),
+                                   rtol=1e-5, atol=1e-6)
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({"video_b64": "!!", "captions": ["x"]}).encode())
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "bad payload must not return 200"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
