@@ -204,8 +204,10 @@ def main():
         plane = measure_data_plane(params, device_rate=clips_16)
     except Exception as e:                         # noqa: BLE001
         print(f"# data-plane bench failed: {e!r}", file=sys.stderr)
-        plane = {"decode_clips_per_sec": None, "e2e_clips_per_sec": None,
-                 "binding_constraint": f"error:{type(e).__name__}"}
+        plane = {"decode_clips_per_sec": None, "h2d_MBps": None,
+                 "e2e_clips_per_sec": None,
+                 "binding_constraint": f"error:{type(e).__name__}",
+                 "host_cores": os.cpu_count()}
 
     print(json.dumps({
         "metric": "msrvtt_retrieval_16clip_clips_per_sec_per_chip",

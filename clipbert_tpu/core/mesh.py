@@ -73,6 +73,14 @@ def maybe_init_distributed(cfg=None) -> bool:
     pod_env = (len([w for w in workers.split(",") if w.strip()]) > 1
                or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ)
     if coord is None and not pod_env:
+        if nproc > 0 or pid >= 0:
+            # partial topology must not silently degrade to N independent
+            # single-process runs (duplicated training, every host passing
+            # is_main_process()) — same fail-loudly rule as config.validate
+            raise ValueError(
+                "num_processes/process_id given without a coordinator "
+                "address: set --coordinator_address or "
+                "CLIPBERT_COORDINATOR (or unset the partial topology)")
         return False
     try:
         init_distributed(coord,

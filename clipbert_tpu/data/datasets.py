@@ -170,7 +170,11 @@ class BaseDataset:
         LOGGER.warning(
             f"eval video {vid_id!r} failed to decode; substituting "
             f"{n_frames} black frames (its scores will be ~chance)")
-        s = self.max_img_size
+        # device-preprocess items are NATIVE-size: substitute at the collate
+        # bucket granularity (64px), never max_img_size — a 448x448 black
+        # frame would raise the whole batch's bucket above every real video
+        # and force a fresh device_preprocess compile mid-eval
+        s = transforms._BUCKET if self.device_preprocess else self.max_img_size
         return np.zeros((n_frames, s, s, 3), np.uint8)
 
     def _retry_indices(self, index: int, n: int = 3, rng=None):
@@ -463,18 +467,30 @@ class VideoQADataset(BaseDataset):
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
         rng = self.item_rng(index)
-        for idx in self._retry_indices(index, rng=rng):
-            vid_id, examples = self.datalist[idx]
-            arr = self.load_video_multi_clips(
-                vid_id, self.ensemble_n_clips,
-                random_clips=self.is_train and self.random_sample_clips,
-                prev_clip_fallback=not (self.is_train
-                                        and self.random_sample_clips),
-                rng=rng)
-            if arr is not None:
-                break
+        if self.is_train:
+            # train: retry-with-resample (dataset_pretrain.py:46-59)
+            for idx in self._retry_indices(index, rng=rng):
+                vid_id, examples = self.datalist[idx]
+                arr = self.load_video_multi_clips(
+                    vid_id, self.ensemble_n_clips,
+                    random_clips=self.random_sample_clips,
+                    prev_clip_fallback=not self.random_sample_clips,
+                    rng=rng)
+                if arr is not None:
+                    break
+            else:
+                raise RuntimeError(f"failed to load video for index {index}")
         else:
-            raise RuntimeError(f"failed to load video for index {index}")
+            # eval: NEVER substitute another item (its question_ids would
+            # replace this one's in the results) — degrade to black frames
+            # like the retrieval eval datasets (dataset_video_qa.py:59-64)
+            vid_id, examples = self.datalist[index]
+            arr = self.load_video_multi_clips(
+                vid_id, self.ensemble_n_clips, random_clips=False,
+                prev_clip_fallback=True, rng=rng)
+            if arr is None:
+                arr = self.eval_fallback_frames(
+                    vid_id, self.ensemble_n_clips * self.num_frm)
         out = []
         for e in examples:
             ex = {"question_id": e["question_id"], "label": e["answer"]}
@@ -560,7 +576,10 @@ class VQADataset(BaseDataset):
     def __getitem__(self, index: int) -> Dict[str, Any]:
         img_id, examples = self.datalist[index]
         arr = self.load_image(img_id)
-        assert arr is not None, f"failed to load image {img_id}"
+        if arr is None:
+            # degrade-don't-die (matches the video eval datasets): a missing
+            # or corrupt image scores ~chance instead of killing the run
+            arr = self.eval_fallback_frames(img_id, 1)
         out = []
         for e in examples:
             ex = {"text_str": e["txt"], "question_id": e["question_id"]}

@@ -9,8 +9,10 @@ TPU-first:
    scales folded, ONE pre-compiled program per (clip-config, caption
    bucket): decode -> jitted device resize/pad/normalize -> cached visual
    encode -> joint scoring. Static shapes via caption-count buckets
-   (powers of two up to ``max_captions``), so steady-state queries never
-   recompile.
+   (powers of two up to ``max_captions``) and 64px resolution buckets
+   (native frames zero-pad up to the collate granularity, so compiles are
+   bounded per bucket, not per distinct resolution); the persistent
+   compile cache makes restarts warm.
  - a stdlib-only JSON-over-HTTP endpoint (``python -m clipbert_tpu.serve``)
    for smoke deployments: POST /score {"video_b64", "captions"} ->
    {"probs"}. Production fleets should wrap RetrievalScorer in their own
@@ -59,6 +61,11 @@ class RetrievalScorer:
                  mean=transforms.IMAGENET_MEAN_255,
                  std=transforms.IMAGENET_STD_1,
                  compute_dtype=jnp.bfloat16, fold_bn: bool = True):
+        # restarts must not pay the minutes-long server-side recompile:
+        # latch the persistent compile cache exactly as make_mesh does for
+        # the task runners (serve never builds a mesh)
+        from clipbert_tpu.core import compile_cache
+        compile_cache.enable()
         if fold_bn:
             params = clipbert.fold_cnn_bn_scales(params)
         self.params = jax.device_put(params)
@@ -109,20 +116,11 @@ class RetrievalScorer:
 
     def _decode_clips(self, video_bytes: bytes) -> Optional[np.ndarray]:
         """(n_clips*num_frm, H, W, 3) uint8, uniform clip ensemble (the
-        eval protocol), prev-clip fallback on partial decode failure."""
-        clips, prev = [], None
-        for i in range(self.n_clips):
-            c = video.decode_clip(
-                video_bytes, num_frames=self.num_frm, target_fps=self.fps,
-                sampling_strategy="uniform", num_clips=self.n_clips,
-                clip_idx=i)
-            if c is None:
-                c = prev
-            if c is None:
-                return None
-            prev = c
-            clips.append(c)
-        return np.concatenate(clips, axis=0)
+        eval protocol) — ONE probe + one concatenated decode pass over the
+        blob (video.decode_multi_clips), not n_clips separate seeks."""
+        return video.decode_multi_clips(
+            video_bytes, num_frames=self.num_frm, target_fps=self.fps,
+            num_clips=self.n_clips, random_clips=False)
 
     def encode_video(self, video_bytes: bytes):
         """Decode + device resize + CNN encode: cached grid features
@@ -132,6 +130,16 @@ class RetrievalScorer:
         if frames is None:
             raise ValueError("undecodable video payload")
         h, w = frames.shape[1:3]
+        # round the native buffer up to the collate bucket (transforms
+        # _BUCKET=64) so a previously-unseen resolution reuses an existing
+        # compiled program instead of blocking the query on a server-side
+        # recompile; the real (h, w) rides in src_hw for the device resize
+        B = transforms._BUCKET
+        hb, wb = -(-h // B) * B, -(-w // B) * B
+        if (hb, wb) != (h, w):
+            buf = np.zeros(frames.shape[:1] + (hb, wb, 3), frames.dtype)
+            buf[:, :h, :w] = frames
+            frames = buf
         nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
         src_hw = np.array([[h, w, nh, nw]], np.int32)
         pixels = transforms.device_preprocess(

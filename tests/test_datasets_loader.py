@@ -317,3 +317,44 @@ def test_eval_datasets_degrade_on_undecodable_video(tok, tmp_path):
     item = mc[0]
     assert (item["vis"] == 0).all()
     assert len(item["examples"]) == 5
+
+    # VideoQA EVAL must keep the original item's question_ids (never
+    # substitute another video's examples) and degrade to black frames
+    qa_list = [("vid_bad", [{"question": "what", "question_id": 99,
+                             "answer": "cat"}])]
+    qa = datasets.VideoQADataset(
+        "msrvtt_qa", qa_list, tok, s, num_frm=2, fps=5, max_img_size=32,
+        ans2label={"cat": 0}, ensemble_n_clips=2, is_train=False)
+    item = qa[0]
+    assert (item["vis"] == 0).all()
+    assert item["examples"][0]["question_id"] == 99
+
+    # VQA: missing/corrupt image degrades the same way
+    vqa = datasets.VQADataset(
+        [("img_gone", [{"txt": "what", "question_id": 3}])], tok, s,
+        max_img_size=32, ans2label={"cat": 0})
+    assert (vqa[0]["vis"] == 0).all()
+    assert vqa[0]["examples"][0]["question_id"] == 3
+
+
+def test_eval_fallback_respects_device_preprocess_bucket(tok, tmp_path):
+    """With device_preprocess=True the black-frame substitute must stay at
+    the 64px collate bucket: a max_img_size-sized fallback would raise the
+    batch bucket above every real (e.g. 240x320) video and force a fresh
+    device_preprocess compile mid-eval."""
+    p = str(tmp_path / "poisoned.cbpk")
+    with store.PackWriter(p) as w:
+        w.put("vid_bad", b"nope" * 50)
+    s = store.open_store(p)
+    ds = datasets.VideoRetrievalEvalDataset(
+        [{"id": 0, "txt": "cat", "vid_id": "vid_bad"}], tok, s,
+        num_frm=2, fps=5, max_img_size=448, ensemble_n_clips=1,
+        device_preprocess=True)
+    item = ds[0]
+    assert item["vis"].shape == (2, 64, 64, 3)
+    assert "vis_hw" in item
+    # host-preprocess path keeps the padded square shape
+    ds_host = datasets.VideoRetrievalEvalDataset(
+        [{"id": 0, "txt": "cat", "vid_id": "vid_bad"}], tok, s,
+        num_frm=2, fps=5, max_img_size=96, ensemble_n_clips=1)
+    assert ds_host[0]["vis"].shape == (2, 96, 96, 3)

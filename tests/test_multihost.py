@@ -111,6 +111,25 @@ print("WORKER_DONE", pid)
 '''
 
 
+def test_partial_topology_fails_loudly(monkeypatch):
+    """num_processes/process_id without a coordinator address must raise,
+    not silently run N independent single-process trainings (every host
+    would pass is_main_process() and write checkpoints)."""
+    from clipbert_tpu.core import mesh
+    monkeypatch.setattr(mesh, "_dist_initialized", False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    monkeypatch.setenv("CLIPBERT_NUM_PROCESSES", "4")
+    with pytest.raises(ValueError, match="coordinator"):
+        mesh.maybe_init_distributed()
+    monkeypatch.delenv("CLIPBERT_NUM_PROCESSES", raising=False)
+    monkeypatch.setenv("CLIPBERT_PROCESS_ID", "2")
+    with pytest.raises(ValueError, match="coordinator"):
+        mesh.maybe_init_distributed()
+    # no topology at all: plain single-host, no init
+    monkeypatch.delenv("CLIPBERT_PROCESS_ID", raising=False)
+    assert mesh.maybe_init_distributed() is False
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))

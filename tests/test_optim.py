@@ -238,27 +238,27 @@ def test_fused_update_exactly_matches_per_leaf(opt_name):
     # cover BOTH fused paths: with the tiny toy leaves, a threshold of 8
     # elements routes the (4,4) kernels through the native-shape big-leaf
     # path and the biases through the per-group concat path
-    monkey_thresh = getattr(
-        test_fused_update_exactly_matches_per_leaf, "_thresh", 8)
     orig_thresh = optim._FUSE_CONCAT_MAX_ELEMS
-    optim._FUSE_CONCAT_MAX_ELEMS = monkey_thresh
-
-    s_ref = optim.init_adamw_state(params)
-    s_fused = optim.init_adamw_state(params)
-    p_ref = p_fused = params
-    for step in range(3):
-        grads = rand_tree(params)
-        p_ref, s_ref, n_ref = optim.adamw_update(
-            p_ref, grads, s_ref, meta, cfg, jnp.float32(1e-3),
-            jnp.float32(2e-3), fused=False)
-        p_fused, s_fused, n_fused = optim.adamw_update(
-            p_fused, grads, s_fused, meta, cfg, jnp.float32(1e-3),
-            jnp.float32(2e-3), fused=True)
-        np.testing.assert_allclose(float(n_ref), float(n_fused), rtol=1e-6)
-        for ta, tb in ((p_ref, p_fused), (s_ref.mu, s_fused.mu),
-                       (s_ref.nu, s_fused.nu)):
-            for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
-                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                           rtol=2e-6, atol=1e-7)
-    assert int(s_fused.step) == 3
-    optim._FUSE_CONCAT_MAX_ELEMS = orig_thresh
+    optim._FUSE_CONCAT_MAX_ELEMS = 8
+    try:
+        s_ref = optim.init_adamw_state(params)
+        s_fused = optim.init_adamw_state(params)
+        p_ref = p_fused = params
+        for step in range(3):
+            grads = rand_tree(params)
+            p_ref, s_ref, n_ref = optim.adamw_update(
+                p_ref, grads, s_ref, meta, cfg, jnp.float32(1e-3),
+                jnp.float32(2e-3), fused=False)
+            p_fused, s_fused, n_fused = optim.adamw_update(
+                p_fused, grads, s_fused, meta, cfg, jnp.float32(1e-3),
+                jnp.float32(2e-3), fused=True)
+            np.testing.assert_allclose(float(n_ref), float(n_fused),
+                                       rtol=1e-6)
+            for ta, tb in ((p_ref, p_fused), (s_ref.mu, s_fused.mu),
+                           (s_ref.nu, s_fused.nu)):
+                for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=2e-6, atol=1e-7)
+        assert int(s_fused.step) == 3
+    finally:
+        optim._FUSE_CONCAT_MAX_ELEMS = orig_thresh

@@ -105,6 +105,42 @@ def test_bucket_padding_independent(setup):
         sc.encode_video(b"not a video")
 
 
+def test_odd_resolution_buckets_like_collate(setup):
+    """Native sizes round up to the 64px collate bucket before the device
+    preprocess (bounds compiles to one per bucket, serve.py), and the
+    zero-pad region must not change the scores: oracle = the same frames
+    packed the way collate_visual packs a batch."""
+    sc, tok, cfg = setup["scorer"], setup["tok"], setup["cfg"]
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (12, 40, 52, 3)).astype(np.uint8)
+    blob = video.encode_jseq_from_array(frames, fps=8)
+    caps = ["a cat runs", "the dog"]
+    probs = sc.score(blob, caps)
+    assert np.isfinite(probs).all()
+
+    dec = sc._decode_clips(blob)
+    h, w = dec.shape[1:3]
+    buf, hw = transforms.collate_visual(
+        [{"vis": dec, "vis_hw": np.array(
+            [h, w, *transforms.get_resize_size(h, w, IMG)], np.int32)}])
+    assert buf.shape[2:4] == (64, 64)      # bucketed, not native
+    pixels = transforms.device_preprocess(buf, hw, IMG, sc.mean, sc.std,
+                                          jnp.float32)
+    enc = tok.batch_encode(caps, 8)
+    ts = steps.TaskSettings(head_type="retrieval", num_labels=2,
+                            loss_type="ce", score_agg_func="lse",
+                            train_n_clips=N_CLIPS, group_size=len(caps))
+    batch = {"visual_inputs": pixels,
+             "text_input_ids": jnp.asarray(enc["input_ids"]),
+             "text_input_mask": jnp.asarray(enc["attention_mask"])}
+    clip_logits = steps.mil_forward(sc.params, cfg, ts, batch, RngGen(None),
+                                    False, jnp.float32)
+    pooled = np.asarray(steps.pool_clip_logits(clip_logits, "lse"))
+    e = np.exp(pooled - pooled.max(-1, keepdims=True))
+    want = (e / e.sum(-1, keepdims=True))[:, 1]
+    np.testing.assert_allclose(probs, want, rtol=2e-4, atol=2e-5)
+
+
 def test_http_endpoint_round_trip(setup):
     sc, blob = setup["scorer"], setup["blob"]
     with socket.socket() as s:
