@@ -86,7 +86,9 @@ class RetrievalScorer:
             train_n_clips=n_clips, group_size=1)
         self._encode = steps.make_visual_encode_step(
             compute_dtype=compute_dtype)
-        self._score = steps.make_text_score_step(
+        # pooling + softmax fused into the scoring program: one fetch per
+        # query (the same step inference_retrieval batches over)
+        self._prob = steps.make_text_prob_step(
             model_cfg, ts, compute_dtype=compute_dtype)
 
     # -- factories ----------------------------------------------------------
@@ -167,17 +169,9 @@ class RetrievalScorer:
         mask = np.zeros((bucket, self.max_txt_len), np.int32)
         ids[:n] = enc["input_ids"]
         mask[:n] = enc["attention_mask"]
-        clip_logits = self._score(self.params, features,
-                                  jnp.asarray(ids), jnp.asarray(mask))
-        pooled = np.asarray(steps.pool_clip_logits(
-            clip_logits.reshape((-1,) + clip_logits.shape[2:]),
-            self.score_agg_func)).reshape(bucket, -1)
-        if self.model_cfg.loss_type == "ce":
-            e = np.exp(pooled - pooled.max(-1, keepdims=True))
-            probs = (e / e.sum(-1, keepdims=True))[:, 1]
-        else:
-            probs = 1.0 / (1.0 + np.exp(-pooled[:, 0]))
-        return probs[:n]
+        probs = np.asarray(self._prob(self.params, features,
+                                      jnp.asarray(ids), jnp.asarray(mask)))
+        return probs[0, :n]
 
     def warmup(self, sample_hw=(240, 320)) -> None:
         """Compile every steady-state program (encode + all caption

@@ -130,8 +130,8 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
         loss_type=cfg.loss_type, score_agg_func=cfg.score_agg_func,
         train_n_clips=cfg.inference_n_clips, group_size=1)
     encode_fn = steps.make_visual_encode_step(compute_dtype=compute_dtype)
-    score_fn = steps.make_text_score_step(model_cfg, ts,
-                                          compute_dtype=compute_dtype)
+    prob_fn = steps.make_text_prob_step(model_cfg, ts,
+                                        compute_dtype=compute_dtype)
 
     caps = eval_ds.encode_all_captions()
     n_caps = caps["text_input_ids"].shape[0]
@@ -199,19 +199,13 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
                 mean, std, compute_dtype=compute_dtype)
         feats = encode_fn(params, pixels)         # cached once per video
         feats = feats.reshape((vb, nc) + feats.shape[1:])
-        scores = np.zeros((vb, n_caps), np.float32)
-        for bi, (ids, mask, n_valid) in enumerate(cap_batches):
-            clip_logits = score_fn(params, feats, ids, mask)  # (vb,B_t,nc,L)
-            pooled = np.asarray(steps.pool_clip_logits(
-                clip_logits.reshape((-1,) + clip_logits.shape[2:]),
-                cfg.score_agg_func)).reshape(vb, clip_logits.shape[1], -1)
-            if cfg.loss_type == "ce":
-                e = np.exp(pooled - pooled.max(-1, keepdims=True))
-                prob = (e / e.sum(-1, keepdims=True))[:, :, 1]
-            else:
-                prob = 1.0 / (1.0 + np.exp(-pooled[:, :, 0]))
-            s = bi * bsz
-            scores[:, s:s + n_valid] = prob[:, :n_valid]
+        # pooling + softmax run in-jit (make_text_prob_step); the caption
+        # loop only dispatches, and ONE fetch per video batch forces the
+        # whole chain — per-caption-batch fetches would pay the device RTT
+        # ceil(n_caps/bsz) times per group
+        parts = [prob_fn(params, feats, ids, mask)[:, :n_valid]
+                 for ids, mask, n_valid in cap_batches]
+        scores = np.asarray(jnp.concatenate(parts, axis=1), np.float32)
         for j, vidx in enumerate(group):
             rows.append((vidx, scores[j]))
 

@@ -434,3 +434,27 @@ def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
         return out["logits"].reshape(B_v, nc, B_t, -1).transpose(0, 2, 1, 3)
 
     return jax.jit(step)
+
+
+def make_text_prob_step(cfg: ModelConfig, ts: TaskSettings,
+                        compute_dtype=jnp.bfloat16) -> Callable:
+    """Like make_text_score_step but with clip pooling + softmax/sigmoid
+    fused into the SAME program, returning (B_v, B_t) fp32 positive-class
+    probabilities (run_video_retrieval.py:679-682 semantics). Callers fetch
+    ONE array per video batch instead of one per caption minibatch — on
+    remote/tunneled hosts the per-fetch RTT otherwise serializes the
+    scoring loop."""
+
+    score = make_text_score_step(cfg, ts, compute_dtype)
+
+    def step(params, feats, ids, mask):
+        clip_logits = score(params, feats, ids, mask)   # (B_v, B_t, nc, L)
+        B_v, B_t = clip_logits.shape[:2]
+        pooled = pool_clip_logits(
+            clip_logits.reshape((-1,) + clip_logits.shape[2:]),
+            ts.score_agg_func).astype(jnp.float32).reshape(B_v, B_t, -1)
+        if ts.loss_type == "ce":
+            return jax.nn.softmax(pooled, axis=-1)[..., 1]
+        return jax.nn.sigmoid(pooled[..., 0])
+
+    return jax.jit(step)

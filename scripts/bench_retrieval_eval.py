@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--n_clips", type=int, default=16)
     ap.add_argument("--num_frm", type=int, default=2)
     ap.add_argument("--video_batch", type=int, default=8)
+    ap.add_argument("--caption_batch", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -80,7 +81,7 @@ def main():
     cfg = RunConfig(model_config="", loss_type="ce", num_labels=2,
                     inference_n_clips=args.n_clips, num_frm=args.num_frm,
                     max_img_size=448, max_txt_len=20, score_agg_func="lse",
-                    inference_batch_size=64,
+                    inference_batch_size=args.caption_batch,
                     inference_video_batch_size=args.video_batch, n_workers=2,
                     fps=1)
     model_cfg = ModelConfig(num_labels=2)
