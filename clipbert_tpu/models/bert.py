@@ -143,9 +143,15 @@ def extended_attention_mask(mask: jnp.ndarray) -> jnp.ndarray:
 
 def encoder(p: Params, hidden: jnp.ndarray, mask_bias: jnp.ndarray,
             cfg: ModelConfig, dropout_key: Optional[jax.Array] = None,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, unroll: bool = False) -> jnp.ndarray:
     """12-layer post-LN encoder via lax.scan over stacked layer params
-    (reference BertEncoder loop, transformers.py:429-461)."""
+    (reference BertEncoder loop, transformers.py:429-461).
+
+    ``unroll=True`` fully unrolls the layer scan — measured +4% on the
+    batch-8192 seq-70 retrieval scoring shape (56.8 -> 59.0 TF/s on the
+    92 TF/s chip) at the cost of a longer compile; eval/serving scoring
+    programs opt in (compiled once, cached), the train step keeps the
+    rolled scan (compile time, remat structure)."""
     num_layers = cfg.num_hidden_layers
     train = dropout_key is not None
     if train:
@@ -177,7 +183,8 @@ def encoder(p: Params, hidden: jnp.ndarray, mask_bias: jnp.ndarray,
         return h, None
 
     body = jax.checkpoint(layer_fn) if remat else layer_fn
-    hidden, _ = jax.lax.scan(body, hidden, (p, layer_keys))
+    hidden, _ = jax.lax.scan(body, hidden, (p, layer_keys),
+                             unroll=num_layers if unroll else 1)
     return hidden
 
 

@@ -113,7 +113,8 @@ def base_forward(p: Params, cfg: ModelConfig,
                  compute_dtype=jnp.bfloat16,
                  rngs: Optional[RngGen] = None,
                  train: bool = False,
-                 remat: bool = False):
+                 remat: bool = False,
+                 unroll: bool = False):
     """ClipBertBaseModel.forward (modeling.py:201-238): returns
     (sequence_output (B, Lt+Lv, D), pooled (B, D))."""
     rngs = rngs or RngGen(None)
@@ -134,7 +135,7 @@ def base_forward(p: Params, cfg: ModelConfig,
     bias = bert.extended_attention_mask(full_mask)
     hidden = bert.encoder(p["encoder"], hidden, bias, cfg,
                           dropout_key=rngs("enc_dropout") if train else None,
-                          remat=remat)
+                          remat=remat, unroll=unroll)
     pooled = bert.pooler(p["pooler"], hidden)
     return hidden, pooled
 
@@ -186,6 +187,7 @@ def clipbert_forward(
     visual_features: Optional[jnp.ndarray] = None,
     group_size: int = 1,
     remat: bool = False,
+    unroll: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """The per-clip unit of work (SURVEY.md §3.4).
 
@@ -206,7 +208,8 @@ def clipbert_forward(
     tp = params["transformer"]
     hidden, pooled = base_forward(
         tp["bert"], cfg, batch["text_input_ids"], batch["text_input_mask"],
-        visual_features, compute_dtype, rngs, train, remat=remat)
+        visual_features, compute_dtype, rngs, train, remat=remat,
+        unroll=unroll)
 
     out: Dict[str, jnp.ndarray] = {}
     if head_type == "pretrain":

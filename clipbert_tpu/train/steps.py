@@ -430,7 +430,10 @@ def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
             {"text_input_ids": jnp.tile(ids, (B_v * nc, 1)),
              "text_input_mask": jnp.tile(mask, (B_v * nc, 1))},
             ts.head_type, train=False, compute_dtype=compute_dtype,
-            visual_features=f, group_size=1)
+            visual_features=f, group_size=1,
+            # full layer unroll: +4% at the batch-8192 seq-70 scoring shape
+            # (bert.encoder docstring); eval programs compile once + cache
+            unroll=True)
         return out["logits"].reshape(B_v, nc, B_t, -1).transpose(0, 2, 1, 3)
 
     return jax.jit(step)
