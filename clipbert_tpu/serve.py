@@ -190,14 +190,146 @@ class RetrievalScorer:
         LOGGER.info("RetrievalScorer warm: encode + caption buckets ready")
 
 
+class VQAScorer:
+    """Resident single-image question answering (the VQA task family).
+
+    answer(image_bytes, questions) -> per-question top-k (answer, score)
+    over the ans2label vocabulary with the exact task protocol math:
+    sigmoid over the bce multi-label head (run_vqa.py:347-356), softmax
+    for ce heads. Same deployment properties as RetrievalScorer: folded
+    frozen-BN params resident on device, question-count buckets, 64px
+    resolution buckets, persistent compile cache."""
+
+    def __init__(self, params, model_cfg: ModelConfig,
+                 tokenizer: BertTokenizer, label2ans: Dict[int, str], *,
+                 max_img_size: int = 448, max_txt_len: int = 20,
+                 max_questions: int = 32,
+                 mean=transforms.IMAGENET_MEAN_255,
+                 std=transforms.IMAGENET_STD_1,
+                 compute_dtype=jnp.bfloat16, fold_bn: bool = True):
+        from clipbert_tpu.core import compile_cache
+        compile_cache.enable()
+        if fold_bn:
+            params = clipbert.fold_cnn_bn_scales(params)
+        self.params = jax.device_put(params)
+        self.model_cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.label2ans = {int(k): v for k, v in label2ans.items()}
+        self.max_img_size = max_img_size
+        self.max_txt_len = max_txt_len
+        self.max_questions = max_questions
+        self.mean, self.std = mean, std
+        self.compute_dtype = compute_dtype
+        ts = steps.TaskSettings(
+            head_type="seq_cls", num_labels=model_cfg.num_labels,
+            loss_type=model_cfg.loss_type, train_n_clips=1, group_size=1)
+        self._encode = steps.make_visual_encode_step(
+            compute_dtype=compute_dtype)
+        self._answer = steps.make_qa_answer_step(
+            model_cfg, ts, compute_dtype=compute_dtype)
+
+    @classmethod
+    def from_checkpoint(cls, model_config_path: str, tokenizer_dir: str,
+                        e2e_weights_path: str, ans2label_path: str,
+                        **kw) -> "VQAScorer":
+        from clipbert_tpu.core.config import RunConfig
+        from clipbert_tpu.train import trainer
+        from clipbert_tpu.utils.basic import load_json
+        ans2label = load_json(ans2label_path)
+        model_cfg = ModelConfig.from_json(
+            model_config_path, num_labels=len(ans2label), loss_type="bce")
+        run_cfg = RunConfig(model_config=model_config_path,
+                            e2e_weights_path=e2e_weights_path)
+        params = trainer.setup_model(run_cfg, model_cfg, "seq_cls")
+        tok = BertTokenizer.from_dir(tokenizer_dir)
+        return cls(params, model_cfg, tok,
+                   {v: k for k, v in ans2label.items()}, **kw)
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(max(b, 4), self.max_questions)
+
+    def encode_image(self, image_bytes: bytes):
+        """JPEG/PNG bytes -> cached grid features (1, 1, Hg, Wg, D)."""
+        import io
+        from PIL import Image
+        try:
+            img = Image.open(io.BytesIO(image_bytes))
+            frames = np.asarray(img.convert("RGB"), np.uint8)[None]
+        except Exception as e:
+            raise ValueError(f"undecodable image payload: {e}") from None
+        h, w = frames.shape[1:3]
+        B = transforms._BUCKET
+        hb, wb = -(-h // B) * B, -(-w // B) * B
+        if (hb, wb) != (h, w):
+            buf = np.zeros((1, hb, wb, 3), frames.dtype)
+            buf[:, :h, :w] = frames
+            frames = buf
+        nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
+        src_hw = np.array([[h, w, nh, nw]], np.int32)
+        pixels = transforms.device_preprocess(
+            frames[None], src_hw, self.max_img_size, self.mean, self.std,
+            self.compute_dtype)
+        return self._encode(self.params, pixels)    # (1, 1, Hg, Wg, D)
+
+    def answer(self, image_bytes: Optional[bytes],
+               questions: Sequence[str], top_k: int = 5,
+               features=None) -> List[List[Dict]]:
+        """Per-question top-k [{"answer", "score"}], best first."""
+        assert questions, "need at least one question"
+        assert len(questions) <= self.max_questions, (
+            f"{len(questions)} questions > max_questions="
+            f"{self.max_questions}")
+        if features is None:
+            features = self.encode_image(image_bytes)
+        n = len(questions)
+        bucket = self._bucket(n)
+        enc = self.tokenizer.batch_encode(list(questions), self.max_txt_len)
+        ids = np.zeros((bucket, self.max_txt_len), np.int32)
+        mask = np.zeros((bucket, self.max_txt_len), np.int32)
+        ids[:n] = enc["input_ids"]
+        mask[:n] = enc["attention_mask"]
+        probs = np.asarray(self._answer(self.params, features,
+                                        jnp.asarray(ids),
+                                        jnp.asarray(mask)))[:n]
+        k = min(top_k, probs.shape[1])
+        out = []
+        for row in probs:
+            top = np.argsort(-row)[:k]
+            out.append([{"answer": self.label2ans.get(int(i), str(int(i))),
+                         "score": float(row[i])} for i in top])
+        return out
+
+    def warmup(self, sample_hw=(480, 640)) -> None:
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros(sample_hw + (3,), np.uint8)).save(
+            buf, format="JPEG")
+        feats = self.encode_image(buf.getvalue())
+        b = 4
+        while True:
+            self.answer(None, ["warmup"] * min(b, self.max_questions),
+                        features=feats)
+            if b >= self.max_questions:
+                break
+            b *= 2
+        LOGGER.info("VQAScorer warm: encode + question buckets ready")
+
+
 # ---------------------------------------------------------------------------
 # stdlib HTTP endpoint (smoke deployments / tests)
 # ---------------------------------------------------------------------------
 
-def make_http_server(scorer: RetrievalScorer, host: str = "127.0.0.1",
-                     port: int = 8477):
-    """POST /score {"video_b64": ..., "captions": [...]}
-    -> 200 {"probs": [...]}; GET /healthz -> 200 "ok"."""
+def make_http_server(scorer=None, host: str = "127.0.0.1",
+                     port: int = 8477, vqa: Optional[VQAScorer] = None):
+    """Routes (each present iff the matching scorer was given):
+    POST /score  {"video_b64", "captions"}  -> {"probs": [...]}
+    POST /vqa    {"image_b64", "questions", "top_k"?}
+                 -> {"answers": [[{"answer","score"}...] ...]}
+    GET  /healthz -> {"status": "ok"}."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -219,16 +351,22 @@ def make_http_server(scorer: RetrievalScorer, host: str = "127.0.0.1",
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/score":
-                self._reply(404, {"error": "not found"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
-                probs = scorer.score(
-                    base64.b64decode(req["video_b64"]),
-                    [str(c) for c in req["captions"]])
-                self._reply(200, {"probs": [float(p) for p in probs]})
+                if self.path == "/score" and scorer is not None:
+                    probs = scorer.score(
+                        base64.b64decode(req["video_b64"]),
+                        [str(c) for c in req["captions"]])
+                    self._reply(200, {"probs": [float(p) for p in probs]})
+                elif self.path == "/vqa" and vqa is not None:
+                    answers = vqa.answer(
+                        base64.b64decode(req["image_b64"]),
+                        [str(q) for q in req["questions"]],
+                        top_k=int(req.get("top_k", 5)))
+                    self._reply(200, {"answers": answers})
+                else:
+                    self._reply(404, {"error": "not found"})
             except Exception as e:      # noqa: BLE001 — serving boundary
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 
@@ -238,9 +376,12 @@ def make_http_server(scorer: RetrievalScorer, host: str = "127.0.0.1",
 def main(argv: Optional[List[str]] = None):
     import argparse
     ap = argparse.ArgumentParser(description="clipbert_tpu scoring server")
+    ap.add_argument("--task", choices=["retrieval", "vqa"],
+                    default="retrieval")
     ap.add_argument("--model_config", required=True)
     ap.add_argument("--tokenizer_dir", required=True)
     ap.add_argument("--e2e_weights_path", required=True)
+    ap.add_argument("--ans2label_path", help="required for --task vqa")
     ap.add_argument("--port", type=int, default=8477)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--n_clips", type=int, default=1)
@@ -249,12 +390,21 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--max_img_size", type=int, default=448)
     ap.add_argument("--max_captions", type=int, default=32)
     args = ap.parse_args(argv)
-    scorer = RetrievalScorer.from_checkpoint(
-        args.model_config, args.tokenizer_dir, args.e2e_weights_path,
-        n_clips=args.n_clips, num_frm=args.num_frm, fps=args.fps,
-        max_img_size=args.max_img_size, max_captions=args.max_captions)
-    scorer.warmup()
-    server = make_http_server(scorer, args.host, args.port)
+    if args.task == "vqa":
+        assert args.ans2label_path, "--task vqa needs --ans2label_path"
+        vqa = VQAScorer.from_checkpoint(
+            args.model_config, args.tokenizer_dir, args.e2e_weights_path,
+            args.ans2label_path, max_img_size=args.max_img_size,
+            max_questions=args.max_captions)
+        vqa.warmup()
+        server = make_http_server(None, args.host, args.port, vqa=vqa)
+    else:
+        scorer = RetrievalScorer.from_checkpoint(
+            args.model_config, args.tokenizer_dir, args.e2e_weights_path,
+            n_clips=args.n_clips, num_frm=args.num_frm, fps=args.fps,
+            max_img_size=args.max_img_size, max_captions=args.max_captions)
+        scorer.warmup()
+        server = make_http_server(scorer, args.host, args.port)
     LOGGER.info(f"serving on {args.host}:{args.port}")
     server.serve_forever()
 

@@ -461,3 +461,26 @@ def make_text_prob_step(cfg: ModelConfig, ts: TaskSettings,
         return jax.nn.sigmoid(pooled[..., 0])
 
     return jax.jit(step)
+
+
+def make_qa_answer_step(cfg: ModelConfig, ts: TaskSettings,
+                        compute_dtype=jnp.bfloat16) -> Callable:
+    """(params, feats (1, T, Hg, Wg, D), ids (B_q, Lt), mask) ->
+    (B_q, num_labels) fp32 answer probabilities for one cached visual —
+    the serving-side unit of VQA/open-ended-QA inference (sigmoid over the
+    bce head like the reference's VQA protocol, run_vqa.py:347-356;
+    softmax for ce heads). The single visual fans out to every question in
+    the minibatch via the group mechanism; the layer scan unrolls like the
+    retrieval scoring programs (bert.encoder docstring)."""
+
+    def step(params, feats, ids, mask):
+        out = clipbert.clipbert_forward(
+            params, cfg, {"text_input_ids": ids, "text_input_mask": mask},
+            "seq_cls", train=False, compute_dtype=compute_dtype,
+            visual_features=feats, group_size=ids.shape[0], unroll=True)
+        logits = out["logits"].astype(jnp.float32)
+        if ts.loss_type == "bce":
+            return jax.nn.sigmoid(logits)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return jax.jit(step)

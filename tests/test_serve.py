@@ -141,6 +141,101 @@ def test_odd_resolution_buckets_like_collate(setup):
     np.testing.assert_allclose(probs, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.fixture(scope="module")
+def vqa_setup(setup):
+    """VQA scorer on a tiny seq_cls head sharing the module tokenizer."""
+    from clipbert_tpu.serve import VQAScorer
+    tok = setup["tok"]
+    cfg = ModelConfig(
+        vocab_size=len(tok), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, max_grid_row_position_embeddings=4,
+        max_grid_col_position_embeddings=4, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, num_labels=6, loss_type="bce")
+    params = clipbert.init_clipbert(jax.random.key(7), cfg, "seq_cls")
+    label2ans = {i: f"ans{i}" for i in range(6)}
+    sc = VQAScorer(params, cfg, tok, label2ans, max_img_size=IMG,
+                   max_txt_len=8, max_questions=8,
+                   compute_dtype=jnp.float32)
+    import io
+    from PIL import Image
+    rng = np.random.default_rng(11)
+    buf = io.BytesIO()
+    Image.fromarray(rng.integers(0, 255, (40, 52, 3)).astype(np.uint8)).save(
+        buf, format="PNG")          # odd size: exercises the 64px bucket
+    return {"sc": sc, "img": buf.getvalue(), "cfg": cfg}
+
+
+def test_vqa_answer_matches_forward_math(vqa_setup):
+    """Top-k answers == sigmoid(seq_cls logits) computed directly on the
+    same cached features, and question-bucket padding must not leak."""
+    sc, img = vqa_setup["sc"], vqa_setup["img"]
+    qs = ["a cat runs", "the dog"]
+    out = sc.answer(img, qs, top_k=3)
+    assert len(out) == 2 and all(len(r) == 3 for r in out)
+    for r in out:
+        scores = [e["score"] for e in r]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0 <= s <= 1 for s in scores)
+
+    feats = sc.encode_image(img)
+    enc = sc.tokenizer.batch_encode(qs, 8)
+    fwd = clipbert.clipbert_forward(
+        sc.params, vqa_setup["cfg"],
+        {"text_input_ids": jnp.asarray(enc["input_ids"]),
+         "text_input_mask": jnp.asarray(enc["attention_mask"])},
+        "seq_cls", train=False, compute_dtype=jnp.float32,
+        visual_features=feats, group_size=2)
+    want = 1.0 / (1.0 + np.exp(-np.asarray(fwd["logits"], np.float64)))
+    got = {e["answer"]: e["score"] for e in out[0]}
+    for i, p in enumerate(want[0]):
+        if f"ans{i}" in got:
+            np.testing.assert_allclose(got[f"ans{i}"], p, rtol=2e-4,
+                                       atol=2e-5)
+    # bucket independence: padding to 4 then 8 questions
+    out8 = sc.answer(img, qs + ["cat"] * 3, top_k=3)
+    for a, b in zip(out[0], out8[0]):
+        assert a["answer"] == b["answer"]
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        sc.encode_image(b"not an image")
+
+
+def test_vqa_http_endpoint(vqa_setup):
+    from clipbert_tpu.serve import make_http_server
+    sc, img = vqa_setup["sc"], vqa_setup["img"]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = make_http_server(None, "127.0.0.1", port, vqa=sc)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/vqa",
+            data=json.dumps({
+                "image_b64": base64.b64encode(img).decode(),
+                "questions": ["a cat"], "top_k": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            answers = json.loads(r.read())["answers"]
+        assert len(answers) == 1 and len(answers[0]) == 2
+        direct = sc.answer(img, ["a cat"], top_k=2)
+        assert answers[0][0]["answer"] == direct[0][0]["answer"]
+        # /score is 404 on a vqa-only server
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({"video_b64": "", "captions": ["x"]}).encode())
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "retrieval route must 404 on a vqa-only server"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
 def test_http_endpoint_round_trip(setup):
     sc, blob = setup["scorer"], setup["blob"]
     with socket.socket() as s:
