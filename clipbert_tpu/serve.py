@@ -44,7 +44,81 @@ from clipbert_tpu.train import steps
 from clipbert_tpu.utils.logger import LOGGER
 
 
-class RetrievalScorer:
+def _pow2_bucket(n: int, cap: int) -> int:
+    """Smallest power-of-two >= n (floor 4, capped) — static text-count
+    buckets keep the steady state recompile-free."""
+    b = 4
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+def _round_to_collate_bucket(frames: np.ndarray) -> np.ndarray:
+    """Zero-pad native frames up to the collate granularity (transforms
+    _BUCKET=64) so a previously-unseen resolution reuses an existing
+    compiled program instead of blocking the query on a server-side
+    recompile; the real (h, w) rides separately in src_hw."""
+    h, w = frames.shape[1:3]
+    B = transforms._BUCKET
+    hb, wb = -(-h // B) * B, -(-w // B) * B
+    if (hb, wb) == (h, w):
+        return frames
+    buf = np.zeros(frames.shape[:1] + (hb, wb) + frames.shape[3:],
+                   frames.dtype)
+    buf[:, :h, :w] = frames
+    return buf
+
+
+class _ResidentVideoScorer:
+    """Shared decode -> device resize -> cached CNN encode for the resident
+    video scorers (retrieval + video-QA). Subclasses set: params, n_clips,
+    num_frm, fps, max_img_size, mean, std, compute_dtype, _encode."""
+
+    def _decode_clips(self, video_bytes: bytes) -> Optional[np.ndarray]:
+        """(n_clips*num_frm, H, W, 3) uint8, uniform clip ensemble (the
+        eval protocol) — ONE probe + one concatenated decode pass over the
+        blob (video.decode_multi_clips), not n_clips separate seeks."""
+        return video.decode_multi_clips(
+            video_bytes, num_frames=self.num_frm, target_fps=self.fps,
+            num_clips=self.n_clips, random_clips=False)
+
+    def encode_video(self, video_bytes: bytes):
+        """Decode + device resize + CNN encode: cached grid features
+        (1, n_clips, T', Hg, Wg, D). Reuse across many score()/answer()
+        calls via the ``features=`` argument."""
+        frames = self._decode_clips(video_bytes)
+        if frames is None:
+            raise ValueError("undecodable video payload")
+        h, w = frames.shape[1:3]
+        frames = _round_to_collate_bucket(frames)
+        nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
+        src_hw = np.array([[h, w, nh, nw]], np.int32)
+        pixels = transforms.device_preprocess(
+            frames[None], src_hw, self.max_img_size, self.mean, self.std,
+            self.compute_dtype)
+        # (1, n_clips*T, S, S, 3) -> (n_clips, T, S, S, 3)
+        pixels = pixels.reshape((self.n_clips, self.num_frm)
+                                + pixels.shape[2:])
+        feats = self._encode(self.params, pixels)
+        return feats.reshape((1,) + feats.shape)
+
+    def _pad_texts(self, texts: Sequence[str], bucket: int):
+        return _pad_texts(self.tokenizer, texts, self.max_txt_len, bucket)
+
+
+def _pad_texts(tokenizer, texts: Sequence[str], max_txt_len: int,
+               bucket: int):
+    """Tokenize + zero-pad the text count up to the bucket (padded rows are
+    all-zero ids/mask and are sliced off by the caller)."""
+    enc = tokenizer.batch_encode(list(texts), max_txt_len)
+    ids = np.zeros((bucket, max_txt_len), np.int32)
+    mask = np.zeros((bucket, max_txt_len), np.int32)
+    ids[:len(texts)] = enc["input_ids"]
+    mask[:len(texts)] = enc["attention_mask"]
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+class RetrievalScorer(_ResidentVideoScorer):
     """Resident single-video scorer (retrieval/ce head).
 
     score(video_bytes, captions) -> per-caption positive-class
@@ -110,49 +184,6 @@ class RetrievalScorer:
 
     # -- internals ----------------------------------------------------------
 
-    def _bucket(self, n: int) -> int:
-        b = 1
-        while b < n:
-            b *= 2
-        return min(max(b, 4), self.max_captions)
-
-    def _decode_clips(self, video_bytes: bytes) -> Optional[np.ndarray]:
-        """(n_clips*num_frm, H, W, 3) uint8, uniform clip ensemble (the
-        eval protocol) — ONE probe + one concatenated decode pass over the
-        blob (video.decode_multi_clips), not n_clips separate seeks."""
-        return video.decode_multi_clips(
-            video_bytes, num_frames=self.num_frm, target_fps=self.fps,
-            num_clips=self.n_clips, random_clips=False)
-
-    def encode_video(self, video_bytes: bytes):
-        """Decode + device resize + CNN encode: cached grid features
-        (1, n_clips, T', Hg, Wg, D). Reuse across many score() calls via
-        the ``features=`` argument."""
-        frames = self._decode_clips(video_bytes)
-        if frames is None:
-            raise ValueError("undecodable video payload")
-        h, w = frames.shape[1:3]
-        # round the native buffer up to the collate bucket (transforms
-        # _BUCKET=64) so a previously-unseen resolution reuses an existing
-        # compiled program instead of blocking the query on a server-side
-        # recompile; the real (h, w) rides in src_hw for the device resize
-        B = transforms._BUCKET
-        hb, wb = -(-h // B) * B, -(-w // B) * B
-        if (hb, wb) != (h, w):
-            buf = np.zeros(frames.shape[:1] + (hb, wb, 3), frames.dtype)
-            buf[:, :h, :w] = frames
-            frames = buf
-        nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
-        src_hw = np.array([[h, w, nh, nw]], np.int32)
-        pixels = transforms.device_preprocess(
-            frames[None], src_hw, self.max_img_size, self.mean, self.std,
-            self.compute_dtype)
-        # (1, n_clips*T, S, S, 3) -> (n_clips, T, S, S, 3)
-        pixels = pixels.reshape((self.n_clips, self.num_frm)
-                                + pixels.shape[2:])
-        feats = self._encode(self.params, pixels)
-        return feats.reshape((1,) + feats.shape)
-
     def score(self, video_bytes: Optional[bytes],
               captions: Sequence[str], features=None) -> np.ndarray:
         """Per-caption positive probabilities (len(captions),)."""
@@ -163,14 +194,8 @@ class RetrievalScorer:
         if features is None:
             features = self.encode_video(video_bytes)
         n = len(captions)
-        bucket = self._bucket(n)
-        enc = self.tokenizer.batch_encode(list(captions), self.max_txt_len)
-        ids = np.zeros((bucket, self.max_txt_len), np.int32)
-        mask = np.zeros((bucket, self.max_txt_len), np.int32)
-        ids[:n] = enc["input_ids"]
-        mask[:n] = enc["attention_mask"]
-        probs = np.asarray(self._prob(self.params, features,
-                                      jnp.asarray(ids), jnp.asarray(mask)))
+        ids, mask = self._pad_texts(captions, _pow2_bucket(n, self.max_captions))
+        probs = np.asarray(self._prob(self.params, features, ids, mask))
         return probs[0, :n]
 
     def warmup(self, sample_hw=(240, 320)) -> None:
@@ -245,12 +270,6 @@ class VQAScorer:
         return cls(params, model_cfg, tok,
                    {v: k for k, v in ans2label.items()}, **kw)
 
-    def _bucket(self, n: int) -> int:
-        b = 1
-        while b < n:
-            b *= 2
-        return min(max(b, 4), self.max_questions)
-
     def encode_image(self, image_bytes: bytes):
         """JPEG/PNG bytes -> cached grid features (1, 1, Hg, Wg, D)."""
         import io
@@ -261,12 +280,7 @@ class VQAScorer:
         except Exception as e:
             raise ValueError(f"undecodable image payload: {e}") from None
         h, w = frames.shape[1:3]
-        B = transforms._BUCKET
-        hb, wb = -(-h // B) * B, -(-w // B) * B
-        if (hb, wb) != (h, w):
-            buf = np.zeros((1, hb, wb, 3), frames.dtype)
-            buf[:, :h, :w] = frames
-            frames = buf
+        frames = _round_to_collate_bucket(frames)
         nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
         src_hw = np.array([[h, w, nh, nw]], np.int32)
         pixels = transforms.device_preprocess(
@@ -285,15 +299,10 @@ class VQAScorer:
         if features is None:
             features = self.encode_image(image_bytes)
         n = len(questions)
-        bucket = self._bucket(n)
-        enc = self.tokenizer.batch_encode(list(questions), self.max_txt_len)
-        ids = np.zeros((bucket, self.max_txt_len), np.int32)
-        mask = np.zeros((bucket, self.max_txt_len), np.int32)
-        ids[:n] = enc["input_ids"]
-        mask[:n] = enc["attention_mask"]
+        ids, mask = _pad_texts(self.tokenizer, questions, self.max_txt_len,
+                               _pow2_bucket(n, self.max_questions))
         probs = np.asarray(self._answer(self.params, features,
-                                        jnp.asarray(ids),
-                                        jnp.asarray(mask)))[:n]
+                                        ids, mask))[:n]
         k = min(top_k, probs.shape[1])
         out = []
         for row in probs:
@@ -319,16 +328,165 @@ class VQAScorer:
         LOGGER.info("VQAScorer warm: encode + question buckets ready")
 
 
+MC_QA_TASKS = ("action", "transition")
+
+
+class VideoQAScorer(_ResidentVideoScorer):
+    """Resident single-video question answering (the video-QA task family,
+    run_video_qa.py protocol: per-clip logits pooled by score_agg_func).
+
+    Open-ended tasks (frameqa / msrvtt_qa): ``answer(video_bytes,
+    questions)`` -> per-question top-k (answer, score) over the ans2label
+    vocabulary, softmax over the ce classifier. Multiple-choice tasks
+    (action / transition): ``answer_mc(video_bytes, question, options)``
+    -> per-option probabilities, using the dataset's question+option
+    concatenation (datasets.py VideoQADataset.__getitem__) and the
+    multi-choice single-logit head. Same deployment properties as
+    RetrievalScorer: folded frozen-BN params resident on device,
+    question-count buckets, 64px resolution buckets, single-pass
+    clip-ensemble decode, persistent compile cache."""
+
+    def __init__(self, params, model_cfg: ModelConfig,
+                 tokenizer: BertTokenizer, task: str, *,
+                 label2ans: Optional[Dict[int, str]] = None,
+                 num_frm: int = 2, n_clips: int = 1, fps: float = 1.0,
+                 max_img_size: int = 448, max_txt_len: int = 25,
+                 max_questions: int = 32, n_options: int = 5,
+                 score_agg_func: str = "mean",
+                 mean=transforms.IMAGENET_MEAN_255,
+                 std=transforms.IMAGENET_STD_1,
+                 compute_dtype=jnp.bfloat16, fold_bn: bool = True):
+        from clipbert_tpu.core import compile_cache
+        compile_cache.enable()
+        if fold_bn:
+            params = clipbert.fold_cnn_bn_scales(params)
+        self.params = jax.device_put(params)
+        self.model_cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.task = task
+        self.is_mc = task in MC_QA_TASKS
+        self.n_options = n_options
+        self.num_frm = num_frm
+        self.n_clips = n_clips
+        self.fps = fps
+        self.max_img_size = max_img_size
+        self.max_txt_len = max_txt_len
+        self.max_questions = max_questions
+        self.mean, self.std = mean, std
+        self.compute_dtype = compute_dtype
+        if self.is_mc:
+            head, labels = "multi_choice", n_options
+            self.label2ans = None
+        else:
+            assert label2ans, "open-ended video-QA needs label2ans"
+            self.label2ans = {int(k): v for k, v in label2ans.items()}
+            head, labels = "seq_cls", model_cfg.num_labels
+        ts = steps.TaskSettings(
+            head_type=head, num_labels=labels, loss_type="ce",
+            score_agg_func=score_agg_func, train_n_clips=n_clips,
+            group_size=1)
+        self._encode = steps.make_visual_encode_step(
+            compute_dtype=compute_dtype)
+        self._prob = steps.make_videoqa_prob_step(
+            model_cfg, ts, compute_dtype=compute_dtype)
+
+    @classmethod
+    def from_checkpoint(cls, model_config_path: str, tokenizer_dir: str,
+                        e2e_weights_path: str, task: str,
+                        ans2label_path: Optional[str] = None,
+                        n_options: int = 5, **kw) -> "VideoQAScorer":
+        from clipbert_tpu.core.config import RunConfig
+        from clipbert_tpu.train import trainer
+        from clipbert_tpu.utils.basic import load_json
+        if task in MC_QA_TASKS:
+            head, label2ans = "multi_choice", None
+            num_labels = n_options
+        else:
+            assert ans2label_path, f"open-ended task {task} needs ans2label"
+            ans2label = load_json(ans2label_path)
+            label2ans = {v: k for k, v in ans2label.items()}
+            head, num_labels = "seq_cls", len(ans2label)
+        model_cfg = ModelConfig.from_json(
+            model_config_path, num_labels=num_labels, loss_type="ce")
+        run_cfg = RunConfig(model_config=model_config_path,
+                            e2e_weights_path=e2e_weights_path)
+        params = trainer.setup_model(run_cfg, model_cfg, head)
+        tok = BertTokenizer.from_dir(tokenizer_dir)
+        return cls(params, model_cfg, tok, task, label2ans=label2ans,
+                   n_options=n_options, **kw)
+
+    def answer(self, video_bytes: Optional[bytes],
+               questions: Sequence[str], top_k: int = 5,
+               features=None) -> List[List[Dict]]:
+        """Open-ended tasks: per-question top-k [{"answer", "score"}]."""
+        assert not self.is_mc, "MC tasks answer via answer_mc()"
+        assert questions, "need at least one question"
+        assert len(questions) <= self.max_questions, (
+            f"{len(questions)} questions > max_questions="
+            f"{self.max_questions}")
+        if features is None:
+            features = self.encode_video(video_bytes)
+        n = len(questions)
+        ids, mask = self._pad_texts(
+            questions, _pow2_bucket(n, self.max_questions))
+        probs = np.asarray(self._prob(self.params, features, ids, mask))[:n]
+        k = min(top_k, probs.shape[1])
+        out = []
+        for row in probs:
+            top = np.argsort(-row)[:k]
+            out.append([{"answer": self.label2ans.get(int(i), str(int(i))),
+                         "score": float(row[i])} for i in top])
+        return out
+
+    def answer_mc(self, video_bytes: Optional[bytes], question: str,
+                  options: Sequence[str], features=None) -> np.ndarray:
+        """MC tasks: probabilities over the options (softmax of the
+        clip-pooled per-option logits), best = argmax."""
+        assert self.is_mc, "open-ended tasks answer via answer()"
+        assert len(options) == self.n_options, (
+            f"need exactly {self.n_options} options, got {len(options)}")
+        if features is None:
+            features = self.encode_video(video_bytes)
+        texts = [question + " " + o for o in options]   # dataset concat
+        ids, mask = self._pad_texts(texts, self.n_options)
+        probs = np.asarray(self._prob(self.params, features, ids, mask))
+        return probs[0]
+
+    def warmup(self, sample_hw=(240, 320)) -> None:
+        """Compile every steady-state program before taking traffic."""
+        h, w = sample_hw
+        frames = np.zeros((self.n_clips * self.num_frm, h, w, 3), np.uint8)
+        blob = video.encode_jseq_from_array(frames, fps=max(self.fps, 1.0))
+        feats = self.encode_video(blob)
+        if self.is_mc:
+            self.answer_mc(None, "warmup", ["w"] * self.n_options,
+                           features=feats)
+        else:
+            b = 4
+            while True:
+                self.answer(None, ["warmup"] * min(b, self.max_questions),
+                            features=feats)
+                if b >= self.max_questions:
+                    break
+                b *= 2
+        LOGGER.info("VideoQAScorer warm: encode + question programs ready")
+
+
 # ---------------------------------------------------------------------------
 # stdlib HTTP endpoint (smoke deployments / tests)
 # ---------------------------------------------------------------------------
 
 def make_http_server(scorer=None, host: str = "127.0.0.1",
-                     port: int = 8477, vqa: Optional[VQAScorer] = None):
+                     port: int = 8477, vqa: Optional[VQAScorer] = None,
+                     videoqa: Optional[VideoQAScorer] = None):
     """Routes (each present iff the matching scorer was given):
-    POST /score  {"video_b64", "captions"}  -> {"probs": [...]}
-    POST /vqa    {"image_b64", "questions", "top_k"?}
-                 -> {"answers": [[{"answer","score"}...] ...]}
+    POST /score      {"video_b64", "captions"}  -> {"probs": [...]}
+    POST /vqa        {"image_b64", "questions", "top_k"?}
+                     -> {"answers": [[{"answer","score"}...] ...]}
+    POST /videoqa    {"video_b64", "questions", "top_k"?}    (open-ended)
+                     -> {"answers": [[{"answer","score"}...] ...]}
+    POST /videoqa_mc {"video_b64", "question", "options"}    (MC)
+                     -> {"probs": [...], "answer_index": int}
     GET  /healthz -> {"status": "ok"}."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -365,6 +523,22 @@ def make_http_server(scorer=None, host: str = "127.0.0.1",
                         [str(q) for q in req["questions"]],
                         top_k=int(req.get("top_k", 5)))
                     self._reply(200, {"answers": answers})
+                elif (self.path == "/videoqa" and videoqa is not None
+                        and not videoqa.is_mc):
+                    answers = videoqa.answer(
+                        base64.b64decode(req["video_b64"]),
+                        [str(q) for q in req["questions"]],
+                        top_k=int(req.get("top_k", 5)))
+                    self._reply(200, {"answers": answers})
+                elif (self.path == "/videoqa_mc" and videoqa is not None
+                        and videoqa.is_mc):
+                    probs = videoqa.answer_mc(
+                        base64.b64decode(req["video_b64"]),
+                        str(req["question"]),
+                        [str(o) for o in req["options"]])
+                    self._reply(200, {
+                        "probs": [float(p) for p in probs],
+                        "answer_index": int(np.argmax(probs))})
                 else:
                     self._reply(404, {"error": "not found"})
             except Exception as e:      # noqa: BLE001 — serving boundary
@@ -376,12 +550,15 @@ def make_http_server(scorer=None, host: str = "127.0.0.1",
 def main(argv: Optional[List[str]] = None):
     import argparse
     ap = argparse.ArgumentParser(description="clipbert_tpu scoring server")
-    ap.add_argument("--task", choices=["retrieval", "vqa"],
+    ap.add_argument("--task",
+                    choices=["retrieval", "vqa", "action", "transition",
+                             "frameqa", "msrvtt_qa"],
                     default="retrieval")
     ap.add_argument("--model_config", required=True)
     ap.add_argument("--tokenizer_dir", required=True)
     ap.add_argument("--e2e_weights_path", required=True)
-    ap.add_argument("--ans2label_path", help="required for --task vqa")
+    ap.add_argument("--ans2label_path",
+                    help="required for vqa and open-ended video-QA tasks")
     ap.add_argument("--port", type=int, default=8477)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--n_clips", type=int, default=1)
@@ -389,6 +566,8 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--fps", type=float, default=1.0)
     ap.add_argument("--max_img_size", type=int, default=448)
     ap.add_argument("--max_captions", type=int, default=32)
+    ap.add_argument("--score_agg_func", default="mean",
+                    help="clip pooling for video-QA tasks")
     args = ap.parse_args(argv)
     if args.task == "vqa":
         assert args.ans2label_path, "--task vqa needs --ans2label_path"
@@ -398,6 +577,17 @@ def main(argv: Optional[List[str]] = None):
             max_questions=args.max_captions)
         vqa.warmup()
         server = make_http_server(None, args.host, args.port, vqa=vqa)
+    elif args.task in MC_QA_TASKS + ("frameqa", "msrvtt_qa"):
+        vqa_scorer = VideoQAScorer.from_checkpoint(
+            args.model_config, args.tokenizer_dir, args.e2e_weights_path,
+            args.task, ans2label_path=args.ans2label_path,
+            n_clips=args.n_clips, num_frm=args.num_frm, fps=args.fps,
+            max_img_size=args.max_img_size,
+            max_questions=args.max_captions,
+            score_agg_func=args.score_agg_func)
+        vqa_scorer.warmup()
+        server = make_http_server(None, args.host, args.port,
+                                  videoqa=vqa_scorer)
     else:
         scorer = RetrievalScorer.from_checkpoint(
             args.model_config, args.tokenizer_dir, args.e2e_weights_path,

@@ -463,6 +463,33 @@ def make_text_prob_step(cfg: ModelConfig, ts: TaskSettings,
     return jax.jit(step)
 
 
+def make_videoqa_prob_step(cfg: ModelConfig, ts: TaskSettings,
+                           compute_dtype=jnp.bfloat16) -> Callable:
+    """(params, feats (1, nc, T, Hg, Wg, D), ids (B_t, Lt), mask) ->
+    answer probabilities for ONE cached video with the video-QA protocol's
+    clip handling (run_video_qa.py:216-362: per-clip logits pooled by
+    score_agg_func, then argmax). Two head shapes:
+
+     - seq_cls (open-ended frameqa/msrvtt_qa): B_t questions, softmax over
+       the ans2label vocabulary -> (B_t, num_labels);
+     - multi_choice (action/transition): B_t = n_q * num_labels
+       question+option concat texts, each scoring ONE logit; softmax over
+       each question's option block -> (n_q, num_labels).
+    """
+
+    score = make_text_score_step(cfg, ts, compute_dtype)
+
+    def step(params, feats, ids, mask):
+        clip_logits = score(params, feats, ids, mask)[0]    # (B_t, nc, L)
+        pooled = pool_clip_logits(
+            clip_logits, ts.score_agg_func).astype(jnp.float32)
+        if ts.head_type == "multi_choice":
+            pooled = pooled.reshape(-1, ts.num_labels)      # (n_q, options)
+        return jax.nn.softmax(pooled, axis=-1)
+
+    return jax.jit(step)
+
+
 def make_qa_answer_step(cfg: ModelConfig, ts: TaskSettings,
                         compute_dtype=jnp.bfloat16) -> Callable:
     """(params, feats (1, T, Hg, Wg, D), ids (B_q, Lt), mask) ->

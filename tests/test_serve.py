@@ -236,6 +236,152 @@ def test_vqa_http_endpoint(vqa_setup):
         server.shutdown()
 
 
+@pytest.fixture(scope="module")
+def videoqa_setup(setup):
+    """Open-ended + MC video-QA scorers sharing the module tokenizer/blob."""
+    from clipbert_tpu.serve import VideoQAScorer
+    tok = setup["tok"]
+    base = dict(
+        vocab_size=len(tok), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, max_grid_row_position_embeddings=4,
+        max_grid_col_position_embeddings=4, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, loss_type="ce")
+    oe_cfg = ModelConfig(num_labels=6, **base)
+    oe_params = clipbert.init_clipbert(jax.random.key(13), oe_cfg, "seq_cls")
+    oe = VideoQAScorer(
+        oe_params, oe_cfg, tok, "frameqa",
+        label2ans={i: f"ans{i}" for i in range(6)}, num_frm=NUM_FRM,
+        n_clips=N_CLIPS, fps=4, max_img_size=IMG, max_txt_len=8,
+        max_questions=8, score_agg_func="mean", compute_dtype=jnp.float32)
+    mc_cfg = ModelConfig(num_labels=5, **base)
+    mc_params = clipbert.init_clipbert(jax.random.key(17), mc_cfg,
+                                       "multi_choice")
+    mc = VideoQAScorer(
+        mc_params, mc_cfg, tok, "transition", num_frm=NUM_FRM,
+        n_clips=N_CLIPS, fps=4, max_img_size=IMG, max_txt_len=8,
+        score_agg_func="mean", compute_dtype=jnp.float32)
+    return {"oe": oe, "mc": mc, "oe_cfg": oe_cfg, "mc_cfg": mc_cfg,
+            "blob": setup["blob"], "tok": tok}
+
+
+def _videoqa_oracle(sc, cfg, blob, texts, head, group_size, tok):
+    """Direct mil_forward + clip pooling + softmax on the same pixels —
+    the run_video_qa validation math."""
+    frames = sc._decode_clips(blob)
+    h, w = frames.shape[1:3]
+    nh, nw = transforms.get_resize_size(h, w, IMG)
+    pixels = transforms.device_preprocess(
+        frames[None], np.array([[h, w, nh, nw]], np.int32), IMG,
+        sc.mean, sc.std, jnp.float32)
+    enc = tok.batch_encode(texts, 8)
+    ts = steps.TaskSettings(head_type=head, num_labels=cfg.num_labels,
+                            loss_type="ce", score_agg_func="mean",
+                            train_n_clips=N_CLIPS, group_size=group_size)
+    batch = {"visual_inputs": pixels,
+             "text_input_ids": jnp.asarray(enc["input_ids"]),
+             "text_input_mask": jnp.asarray(enc["attention_mask"])}
+    clip_logits = steps.mil_forward(sc.params, cfg, ts, batch, RngGen(None),
+                                    False, jnp.float32)
+    pooled = np.asarray(steps.pool_clip_logits(clip_logits, "mean"),
+                        np.float64)
+    e = np.exp(pooled - pooled.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def test_videoqa_open_ended_matches_eval_math(videoqa_setup):
+    """Open-ended answers == mean-pooled per-clip logits softmaxed, and
+    question-bucket padding must not leak into real rows."""
+    sc, blob = videoqa_setup["oe"], videoqa_setup["blob"]
+    qs = ["a cat runs", "the dog"]
+    out = sc.answer(blob, qs, top_k=3)
+    assert len(out) == 2 and all(len(r) == 3 for r in out)
+    want = _videoqa_oracle(sc, videoqa_setup["oe_cfg"], blob, qs, "seq_cls",
+                           group_size=2, tok=videoqa_setup["tok"])
+    got0 = {e["answer"]: e["score"] for e in out[0]}
+    for i, p in enumerate(want[0]):
+        if f"ans{i}" in got0:
+            np.testing.assert_allclose(got0[f"ans{i}"], p, rtol=2e-4,
+                                       atol=2e-5)
+    # bucket independence (pads 2 -> 4 -> 8 questions)
+    out8 = sc.answer(blob, qs + ["cat"] * 3, top_k=3)
+    for a, b in zip(out[0], out8[0]):
+        assert a["answer"] == b["answer"]
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-5)
+    with pytest.raises(AssertionError):
+        sc.answer_mc(blob, "q", ["a"] * 5)     # MC entry on open-ended task
+
+
+def test_videoqa_mc_matches_eval_math(videoqa_setup):
+    """MC option probabilities == the multi-choice head's clip-pooled
+    logits softmaxed over the 5 question+option texts."""
+    sc, blob = videoqa_setup["mc"], videoqa_setup["blob"]
+    q, opts = "the cat", ["runs", "dog", "a", "cat", "the"]
+    probs = sc.answer_mc(blob, q, opts)
+    assert probs.shape == (5,)
+    np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-5)
+    texts = [q + " " + o for o in opts]        # dataset concat convention
+    want = _videoqa_oracle(sc, videoqa_setup["mc_cfg"], blob, texts,
+                           "multi_choice", group_size=5,
+                           tok=videoqa_setup["tok"])
+    np.testing.assert_allclose(probs, want[0], rtol=2e-4, atol=2e-5)
+    # cached-features path reproduces the bytes path
+    feats = sc.encode_video(blob)
+    np.testing.assert_allclose(sc.answer_mc(None, q, opts, features=feats),
+                               probs, rtol=1e-6)
+    with pytest.raises(AssertionError):
+        sc.answer_mc(blob, q, opts[:3])        # wrong option count
+    with pytest.raises(AssertionError):
+        sc.answer(blob, ["q"])                 # open-ended entry on MC task
+
+
+def test_videoqa_http_endpoints(videoqa_setup):
+    from clipbert_tpu.serve import make_http_server
+    oe, mc, blob = videoqa_setup["oe"], videoqa_setup["mc"], \
+        videoqa_setup["blob"]
+    b64 = base64.b64encode(blob).decode()
+    for scorer, path, payload in [
+            (oe, "/videoqa", {"video_b64": b64, "questions": ["a cat"],
+                              "top_k": 2}),
+            (mc, "/videoqa_mc", {"video_b64": b64, "question": "the cat",
+                                 "options": ["runs", "dog", "a", "cat",
+                                             "the"]})]:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        server = make_http_server(None, "127.0.0.1", port, videoqa=scorer)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                body = json.loads(r.read())
+            if path == "/videoqa":
+                direct = oe.answer(blob, ["a cat"], top_k=2)
+                assert body["answers"][0][0]["answer"] == \
+                    direct[0][0]["answer"]
+            else:
+                direct = mc.answer_mc(blob, "the cat",
+                                      ["runs", "dog", "a", "cat", "the"])
+                assert body["answer_index"] == int(np.argmax(direct))
+                np.testing.assert_allclose(body["probs"], direct, rtol=1e-5)
+            # the other family's route must 404 on this server
+            other = "/videoqa_mc" if path == "/videoqa" else "/videoqa"
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}{other}",
+                data=json.dumps(payload).encode())
+            try:
+                urllib.request.urlopen(bad, timeout=30)
+                assert False, f"{other} must 404 on this server"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
+
+
 def test_http_endpoint_round_trip(setup):
     sc, blob = setup["scorer"], setup["blob"]
     with socket.socket() as s:
