@@ -143,7 +143,8 @@ def extended_attention_mask(mask: jnp.ndarray) -> jnp.ndarray:
 
 def encoder(p: Params, hidden: jnp.ndarray, mask_bias: jnp.ndarray,
             cfg: ModelConfig, dropout_key: Optional[jax.Array] = None,
-            remat: bool = False, unroll: bool = False) -> jnp.ndarray:
+            remat: bool = False, unroll: bool = False,
+            fused_attn: bool = False) -> jnp.ndarray:
     """12-layer post-LN encoder via lax.scan over stacked layer params
     (reference BertEncoder loop, transformers.py:429-461).
 
@@ -168,7 +169,7 @@ def encoder(p: Params, hidden: jnp.ndarray, mask_bias: jnp.ndarray,
 
         ctx = multi_head_attention(
             h, lp["attention"]["self"], cfg.num_attention_heads, mask_bias,
-            cfg.attention_probs_dropout_prob, attn_key)
+            cfg.attention_probs_dropout_prob, attn_key, fused=fused_attn)
         a = linear(ctx, lp["attention"]["output"]["dense"])
         a = dropout(a, cfg.hidden_dropout_prob, res_key)
         h = layer_norm(a + h, lp["attention"]["output"]["ln"]["scale"],

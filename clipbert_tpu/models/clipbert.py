@@ -114,7 +114,8 @@ def base_forward(p: Params, cfg: ModelConfig,
                  rngs: Optional[RngGen] = None,
                  train: bool = False,
                  remat: bool = False,
-                 unroll: bool = False):
+                 unroll: bool = False,
+                 fused_attn: bool = False):
     """ClipBertBaseModel.forward (modeling.py:201-238): returns
     (sequence_output (B, Lt+Lv, D), pooled (B, D))."""
     rngs = rngs or RngGen(None)
@@ -135,7 +136,7 @@ def base_forward(p: Params, cfg: ModelConfig,
     bias = bert.extended_attention_mask(full_mask)
     hidden = bert.encoder(p["encoder"], hidden, bias, cfg,
                           dropout_key=rngs("enc_dropout") if train else None,
-                          remat=remat, unroll=unroll)
+                          remat=remat, unroll=unroll, fused_attn=fused_attn)
     pooled = bert.pooler(p["pooler"], hidden)
     return hidden, pooled
 
@@ -188,6 +189,7 @@ def clipbert_forward(
     group_size: int = 1,
     remat: bool = False,
     unroll: bool = False,
+    fused_attn: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """The per-clip unit of work (SURVEY.md §3.4).
 
@@ -209,7 +211,7 @@ def clipbert_forward(
     hidden, pooled = base_forward(
         tp["bert"], cfg, batch["text_input_ids"], batch["text_input_mask"],
         visual_features, compute_dtype, rngs, train, remat=remat,
-        unroll=unroll)
+        unroll=unroll, fused_attn=fused_attn)
 
     out: Dict[str, jnp.ndarray] = {}
     if head_type == "pretrain":

@@ -28,7 +28,13 @@ def multi_head_attention(
     mask_bias: Optional[jnp.ndarray] = None,  # (B, 1, 1, L) or (B,1,L,L) additive
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
+    fused: bool = False,
 ) -> jnp.ndarray:
+    """``fused=True`` routes the core (QK^T -> softmax -> PV) through the
+    Pallas VMEM-resident kernel (ops/pallas_attention.py) — same fp32
+    softmax math, no HBM round-trip for the score tensor. Only taken for
+    dropout-free (inference) calls with the standard per-key mask; other
+    configurations keep the einsum path."""
     B, L, D = hidden.shape
     head_dim = D // num_heads
 
@@ -45,6 +51,16 @@ def multi_head_attention(
     qkv = (qkv + b.astype(jnp.float32)).astype(hidden.dtype)
     q, k, v = (t.reshape(B, L, num_heads, head_dim)
                for t in jnp.split(qkv, 3, axis=-1))
+
+    use_fused = (fused
+                 and (dropout_rate == 0.0 or dropout_key is None)
+                 and mask_bias is not None
+                 and mask_bias.shape == (B, 1, 1, L))
+    if use_fused:
+        from clipbert_tpu.ops.pallas_attention import fused_attention
+        ctx = fused_attention(q, k, v, mask_bias[:, 0, 0, :],
+                              float(1.0 / head_dim ** 0.5))
+        return ctx.reshape(B, L, D)
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32)

@@ -1,0 +1,107 @@
+"""Pallas fused multi-head attention for short joint sequences.
+
+XLA executes attention as scores-matmul -> softmax -> probs-matmul with the
+(B, H, S, S) fp32 score tensor materialized in HBM between the two (it does
+not re-fuse across an MXU op); at the retrieval scoring shape (B=8192,
+H=12, S~70) that is ~2 GB of scores written and re-read per layer, plus
+tiny (S, dh)x(dh, S) batched matmuls. This kernel computes
+softmax(QK^T * scale + bias) V per (batch block, head) with everything
+resident in VMEM: one HBM read of q/k/v, one HBM write of the context.
+
+Exact math, not online/flash softmax: ClipBERT joint sequences are <= ~620
+tokens (SURVEY.md §5 "long-video mechanisms"), so the full (S, S) score
+tile fits in VMEM and the softmax is the same full-row fp32 softmax as the
+XLA path (`ops/attention.py`) — parity-tested in
+tests/test_pallas_kernels.py.
+
+Layout: operands arrive (B, H, S, dh) so the Mosaic-tiled trailing dims are
+(S, dh) and every in-kernel op is a plain 2D dot/softmax (4D squeezes of
+tiled dims are unsupported shape casts). The caller's (B, S, H, dh) ->
+(B, H, S, dh) transposes sit adjacent to the QKV-projection matmul and the
+context consumer, where XLA folds them into the matmul layouts.
+
+The attention-probability dropout used at train time is NOT implemented
+here (the reference applies dropout to the probs, transformers.py:202-286);
+callers keep the XLA path when a dropout key is live. Inference/eval paths
+(retrieval scoring, serving, eval steps) are the targets.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# batch items per grid cell; q/k/v cell blocks are (BLK_B, S, dh) per head
+# (~71 KB each at the scoring shape), scores (S, S) fp32 live per item
+BLK_B = 8
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
+            blk_b: int):
+    for b in range(blk_b):
+        q = q_ref[b, 0]                                  # (S, dh)
+        k = k_ref[b, 0]
+        v = v_ref[b, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[b][None, :]             # (S, S) fp32
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[b, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    key_bias: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """softmax(q k^T * scale + key_bias) v, fused in VMEM.
+
+    q/k/v: (B, S, H, dh) in the compute dtype (the layout
+    `ops/attention.py` produces). key_bias: (B, S) additive fp32 bias per
+    KEY position (the HF (1-mask)*-10000 convention, broadcast over queries
+    and heads). Returns (B, S, H, dh) in q.dtype.
+    """
+    B, S, H, dh = q.shape
+    assert k.shape == q.shape and v.shape == q.shape
+    assert key_bias.shape == (B, S), (key_bias.shape, (B, S))
+
+    Bp = _cdiv(B, BLK_B) * BLK_B
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        # padded rows: bias 0 everywhere -> uniform softmax, result sliced off
+        key_bias = jnp.pad(key_bias, ((0, Bp - B), (0, 0)))
+
+    # (B, S, H, dh) -> (B, H, S, dh): puts (S, dh) in the tiled trailing dims
+    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+
+    qkv_spec = pl.BlockSpec((BLK_B, 1, S, dh), lambda i, h: (i, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((BLK_B, S), lambda i, h: (i, 0),
+                             memory_space=pltpu.VMEM)
+    flops = 2 * 2 * Bp * H * S * S * dh
+    bytes_accessed = 4 * Bp * S * H * dh * q.dtype.itemsize
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, blk_b=BLK_B),
+        out_shape=jax.ShapeDtypeStruct((Bp, H, S, dh), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(Bp // BLK_B, H),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            out_specs=qkv_spec),
+        cost_estimate=pl.CostEstimate(flops=flops,
+                                      bytes_accessed=bytes_accessed,
+                                      transcendentals=Bp * H * S * S),
+        # interpret mode lets the CPU test mesh execute the same kernel
+        interpret=jax.default_backend() == "cpu",
+    )(q, k, v, key_bias.astype(jnp.float32))
+    return out.transpose(0, 2, 1, 3)[:B]

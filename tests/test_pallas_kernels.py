@@ -83,3 +83,59 @@ def test_pallas_bottleneck_with_folded_params(rng_np):
     got = resnet.resnet50_forward(pf, x, use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_attention_matches_einsum_path(rng_np):
+    """The Pallas attention kernel must equal the production einsum math
+    exactly-enough (same fp32 softmax, fp32-accumulated matmuls), including
+    masked key positions and batch padding to the block size."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.models.bert import extended_attention_mask
+    from clipbert_tpu.ops.attention import multi_head_attention
+    from clipbert_tpu.ops.pallas_attention import BLK_B
+
+    D, H = 32, 4
+    k1 = jax.random.key(3)
+    params = {
+        n: {"kernel": jnp.asarray(rng_np.standard_normal((D, D)) * 0.1,
+                                  jnp.float32),
+            "bias": jnp.asarray(rng_np.standard_normal(D) * 0.1, jnp.float32)}
+        for n in ("query", "key", "value")}
+    for B, L in [(3, 11), (BLK_B, 16), (2 * BLK_B + 1, 7)]:
+        hidden = jnp.asarray(rng_np.standard_normal((B, L, D)), jnp.float32)
+        mask = (rng_np.random((B, L)) > 0.3).astype(np.float32)
+        mask[:, 0] = 1.0
+        bias = extended_attention_mask(jnp.asarray(mask))
+        ref = multi_head_attention(hidden, params, H, bias, fused=False)
+        got = multi_head_attention(hidden, params, H, bias, fused=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+    # dropout-live calls must keep the einsum path (fused has no prob dropout)
+    hidden = jnp.asarray(rng_np.standard_normal((4, 6, D)), jnp.float32)
+    bias = extended_attention_mask(jnp.ones((4, 6)))
+    drop = multi_head_attention(hidden, params, H, bias, dropout_rate=0.5,
+                                dropout_key=k1, fused=True)
+    ref = multi_head_attention(hidden, params, H, bias, dropout_rate=0.5,
+                               dropout_key=k1, fused=False)
+    np.testing.assert_allclose(np.asarray(drop), np.asarray(ref), rtol=1e-6)
+
+
+def test_fused_attention_in_encoder(rng_np):
+    """bert.encoder(fused_attn=True) == the default path on a 2-layer stack."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.core.config import ModelConfig
+    from clipbert_tpu.models import bert
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=64,
+                      hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    p = bert.init_encoder(jax.random.key(0), cfg)
+    hidden = jnp.asarray(rng_np.standard_normal((5, 9, 32)), jnp.float32)
+    mask = np.ones((5, 9), np.float32)
+    mask[:, 7:] = 0.0
+    bias = bert.extended_attention_mask(jnp.asarray(mask))
+    ref = bert.encoder(p, hidden, bias, cfg)
+    got = bert.encoder(p, hidden, bias, cfg, fused_attn=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
