@@ -411,12 +411,29 @@ def make_visual_encode_step(compute_dtype=jnp.bfloat16) -> Callable:
     return jax.jit(step)
 
 
+def fused_attn_default() -> bool:
+    """Whether inference scoring programs take the Pallas fused-attention
+    core (ops/pallas_attention.py). Measured on the real chip at the
+    retrieval scoring shape (scripts/perf_attn_ab.py, B=8192 seq=69): the
+    12-layer encoder goes 58.3 -> 68.8 TF/s (+18%) because the fp32
+    (B, H, S, S) score tensor stays in VMEM instead of round-tripping HBM.
+    Mosaic kernels are not partitioned by GSPMD, so auto-enable only when
+    this process drives ONE device (the bench/serving topology); multi-chip
+    hosts keep the einsum path, whose batch inputs shard over the mesh.
+    The backend test is != "cpu" (the dev tunnel reports platform "axon"),
+    matching compile_cache/pallas interpret gating."""
+    return (jax.default_backend() != "cpu"
+            and jax.local_device_count() == 1)
+
+
 def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
-                         compute_dtype=jnp.bfloat16) -> Callable:
+                         compute_dtype=jnp.bfloat16,
+                         fused_attn: Optional[bool] = None) -> Callable:
     """(params, feats (B_v, nc, T, Hg, Wg, D), ids (B_t, Lt), mask) ->
     (B_v, B_t, nc, L) logits: a batch of cached videos' clips scored against
     a text minibatch. Videos AND clips fold into one big BERT batch
     (B_v*nc*B_t sequences) so the MXU stays saturated."""
+    fused = fused_attn_default() if fused_attn is None else fused_attn
 
     def step(params, feats, ids, mask):
         B_v, nc = feats.shape[:2]
@@ -433,14 +450,15 @@ def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
             visual_features=f, group_size=1,
             # full layer unroll: +4% at the batch-8192 seq-70 scoring shape
             # (bert.encoder docstring); eval programs compile once + cache
-            unroll=True)
+            unroll=True, fused_attn=fused)
         return out["logits"].reshape(B_v, nc, B_t, -1).transpose(0, 2, 1, 3)
 
     return jax.jit(step)
 
 
 def make_text_prob_step(cfg: ModelConfig, ts: TaskSettings,
-                        compute_dtype=jnp.bfloat16) -> Callable:
+                        compute_dtype=jnp.bfloat16,
+                        fused_attn: Optional[bool] = None) -> Callable:
     """Like make_text_score_step but with clip pooling + softmax/sigmoid
     fused into the SAME program, returning (B_v, B_t) fp32 positive-class
     probabilities (run_video_retrieval.py:679-682 semantics). Callers fetch
@@ -448,7 +466,7 @@ def make_text_prob_step(cfg: ModelConfig, ts: TaskSettings,
     remote/tunneled hosts the per-fetch RTT otherwise serializes the
     scoring loop."""
 
-    score = make_text_score_step(cfg, ts, compute_dtype)
+    score = make_text_score_step(cfg, ts, compute_dtype, fused_attn)
 
     def step(params, feats, ids, mask):
         clip_logits = score(params, feats, ids, mask)   # (B_v, B_t, nc, L)
@@ -464,7 +482,8 @@ def make_text_prob_step(cfg: ModelConfig, ts: TaskSettings,
 
 
 def make_videoqa_prob_step(cfg: ModelConfig, ts: TaskSettings,
-                           compute_dtype=jnp.bfloat16) -> Callable:
+                           compute_dtype=jnp.bfloat16,
+                           fused_attn: Optional[bool] = None) -> Callable:
     """(params, feats (1, nc, T, Hg, Wg, D), ids (B_t, Lt), mask) ->
     answer probabilities for ONE cached video with the video-QA protocol's
     clip handling (run_video_qa.py:216-362: per-clip logits pooled by
@@ -477,7 +496,7 @@ def make_videoqa_prob_step(cfg: ModelConfig, ts: TaskSettings,
        each question's option block -> (n_q, num_labels).
     """
 
-    score = make_text_score_step(cfg, ts, compute_dtype)
+    score = make_text_score_step(cfg, ts, compute_dtype, fused_attn)
 
     def step(params, feats, ids, mask):
         clip_logits = score(params, feats, ids, mask)[0]    # (B_t, nc, L)
@@ -491,20 +510,24 @@ def make_videoqa_prob_step(cfg: ModelConfig, ts: TaskSettings,
 
 
 def make_qa_answer_step(cfg: ModelConfig, ts: TaskSettings,
-                        compute_dtype=jnp.bfloat16) -> Callable:
+                        compute_dtype=jnp.bfloat16,
+                        fused_attn: Optional[bool] = None) -> Callable:
     """(params, feats (1, T, Hg, Wg, D), ids (B_q, Lt), mask) ->
     (B_q, num_labels) fp32 answer probabilities for one cached visual —
     the serving-side unit of VQA/open-ended-QA inference (sigmoid over the
     bce head like the reference's VQA protocol, run_vqa.py:347-356;
     softmax for ce heads). The single visual fans out to every question in
-    the minibatch via the group mechanism; the layer scan unrolls like the
-    retrieval scoring programs (bert.encoder docstring)."""
+    the minibatch via the group mechanism; the layer scan unrolls and the
+    attention core fuses like the retrieval scoring programs
+    (bert.encoder docstring, fused_attn_default)."""
+    fused = fused_attn_default() if fused_attn is None else fused_attn
 
     def step(params, feats, ids, mask):
         out = clipbert.clipbert_forward(
             params, cfg, {"text_input_ids": ids, "text_input_mask": mask},
             "seq_cls", train=False, compute_dtype=compute_dtype,
-            visual_features=feats, group_size=ids.shape[0], unroll=True)
+            visual_features=feats, group_size=ids.shape[0], unroll=True,
+            fused_attn=fused)
         logits = out["logits"].astype(jnp.float32)
         if ts.loss_type == "bce":
             return jax.nn.sigmoid(logits)

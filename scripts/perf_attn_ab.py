@@ -14,8 +14,11 @@ timings bound and measure the lever:
 Usage: python scripts/perf_attn_ab.py [variant ...]   (TPU, not CPU)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
@@ -85,17 +88,20 @@ def main():
             return
         timeit(fn, args, desc=name)
 
+    # params ride as jit ARGUMENTS (closed-over arrays ship as HLO
+    # constants -> the remote compile endpoint rejects the 340MB body)
     run("einsum",
-        lambda c, h: bert.encoder(p, perturb(h, c), bias, cfg, unroll=True)
-        .astype(jnp.float32)[:, 0, 0].sum(), (hidden,))
+        lambda c, h, pp: bert.encoder(pp, perturb(h, c), bias, cfg,
+                                      unroll=True)
+        .astype(jnp.float32)[:, 0, 0].sum(), (hidden, p))
 
     run("fused",
-        lambda c, h: bert.encoder(p, perturb(h, c), bias, cfg, unroll=True,
-                                  fused_attn=True)
-        .astype(jnp.float32)[:, 0, 0].sum(), (hidden,))
+        lambda c, h, pp: bert.encoder(pp, perturb(h, c), bias, cfg,
+                                      unroll=True, fused_attn=True)
+        .astype(jnp.float32)[:, 0, 0].sum(), (hidden, p))
 
     # upper bound: the encoder with the attention core free (ctx = V)
-    def no_core_encoder(h):
+    def no_core_encoder(h, pp):
         def layer_fn(h, lp):
             ctx = linear(h, lp["attention"]["self"]["value"])
             # keep q/k projections live (their FLOPs are in the model):
@@ -112,12 +118,12 @@ def main():
             h = layer_norm(out + h, lp["output"]["ln"]["scale"],
                            lp["output"]["ln"]["bias"], cfg.layer_norm_eps)
             return h, None
-        h, _ = jax.lax.scan(layer_fn, h, p, unroll=cfg.num_hidden_layers)
+        h, _ = jax.lax.scan(layer_fn, h, pp, unroll=cfg.num_hidden_layers)
         return h
 
     run("no_attn_core",
-        lambda c, h: no_core_encoder(perturb(h, c))
-        .astype(jnp.float32)[:, 0, 0].sum(), (hidden,))
+        lambda c, h, pp: no_core_encoder(perturb(h, c), pp)
+        .astype(jnp.float32)[:, 0, 0].sum(), (hidden, p))
 
 
 if __name__ == "__main__":

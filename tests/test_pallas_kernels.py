@@ -121,6 +121,40 @@ def test_fused_attention_matches_einsum_path(rng_np):
     np.testing.assert_allclose(np.asarray(drop), np.asarray(ref), rtol=1e-6)
 
 
+def test_fused_attention_in_scoring_program(rng_np):
+    """make_text_prob_step(fused_attn=True) — the production TPU inference
+    configuration (steps.fused_attn_default) — equals the einsum scoring
+    program on the same cached features and captions."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.core.config import ModelConfig
+    from clipbert_tpu.models import clipbert
+    from clipbert_tpu.train import steps
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=64,
+                      max_grid_row_position_embeddings=8,
+                      max_grid_col_position_embeddings=8, num_labels=2)
+    ts = steps.TaskSettings(head_type="retrieval", num_labels=2,
+                            loss_type="ce", score_agg_func="lse",
+                            train_n_clips=2, group_size=1)
+    params = clipbert.init_clipbert(jax.random.key(1), cfg, "retrieval")
+    # cached grid features: (B_v=2 videos, nc=2 clips, T=1, 3, 3, D)
+    feats = jnp.asarray(rng_np.standard_normal((2, 2, 1, 3, 3, 32)) * 0.1,
+                        jnp.float32)
+    ids = jnp.asarray(rng_np.integers(0, 64, (5, 7)), jnp.int32)
+    mask = np.ones((5, 7), np.int32)
+    mask[:, 5:] = 0
+    mask = jnp.asarray(mask)
+    ref = steps.make_text_prob_step(cfg, ts, jnp.float32, fused_attn=False)(
+        params, feats, ids, mask)
+    got = steps.make_text_prob_step(cfg, ts, jnp.float32, fused_attn=True)(
+        params, feats, ids, mask)
+    assert got.shape == (2, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_fused_attention_in_encoder(rng_np):
     """bert.encoder(fused_attn=True) == the default path on a 2-layer stack."""
     import jax
