@@ -29,6 +29,7 @@ callers keep the XLA path when a dropout key is live. Inference/eval paths
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,33 +37,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # batch items per grid cell; q/k/v cell blocks are (BLK_B, S, dh) per head
-# (~71 KB each at the scoring shape), scores (S, S) fp32 live per item
-BLK_B = 8
+# (~570 KB each at the scoring shape), scores (BLK_B, S, S) fp32 live.
+# Swept on-chip at the B=8192/S=69 scoring shape (scripts/perf_attn_ab.py):
+# kernel-only 8->~29 ms, 32->25.1, 64->24.3, 128/256->24.4 — a plateau at
+# 64 set by MXU occupancy on the tiny (S,dh)x(dh,S) per-item matmuls, not
+# by grid overhead or bandwidth (143 GB/s effective vs ~800 available).
+# Env override is for perf A/Bs — set it before import; traced programs
+# bake the value in.
+BLK_B = int(os.environ.get("CLIPBERT_ATTN_BLK_B", "64"))
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
-            blk_b: int):
-    for b in range(blk_b):
-        q = q_ref[b, 0]                                  # (S, dh)
-        k = k_ref[b, 0]
-        v = v_ref[b, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + bias_ref[b][None, :]             # (S, S) fp32
-        p = jax.nn.softmax(s, axis=-1)
-        o = jax.lax.dot_general(p.astype(v.dtype), v,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[b, 0] = o.astype(o_ref.dtype)
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
+    # one batched dot over the whole block (batch dim = block items): Mosaic
+    # lowers this directly, where an unrolled per-item Python loop costs
+    # 25x the compile time (201 s vs 8 s at the scoring shape) for slightly
+    # worse runtime
+    q = q_ref[:, 0]                                      # (BLK_B, S, dh)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    bias = bias_ref[:, :]                                # (BLK_B, S)
+    s = s * scale + bias[:, None, :]                     # (BLK_B, S, S) fp32
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(p.astype(v.dtype), v,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o_ref[:, 0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.jit, static_argnames=("scale", "blk_b"))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    key_bias: jnp.ndarray, scale: float) -> jnp.ndarray:
+                    key_bias: jnp.ndarray, scale: float,
+                    blk_b: int | None = None) -> jnp.ndarray:
     """softmax(q k^T * scale + key_bias) v, fused in VMEM.
 
     q/k/v: (B, S, H, dh) in the compute dtype (the layout
@@ -70,6 +81,7 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     KEY position (the HF (1-mask)*-10000 convention, broadcast over queries
     and heads). Returns (B, S, H, dh) in q.dtype.
     """
+    BLK_B = blk_b or globals()["BLK_B"]
     B, S, H, dh = q.shape
     assert k.shape == q.shape and v.shape == q.shape
     assert key_bias.shape == (B, S), (key_bias.shape, (B, S))
@@ -91,8 +103,13 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     flops = 2 * 2 * Bp * H * S * S * dh
     bytes_accessed = 4 * Bp * S * H * dh * q.dtype.itemsize
 
+    interpret = jax.default_backend() == "cpu"
+    # blocks >64 items exceed the 16M default scoped-vmem budget; the chip
+    # has far more — raise the cap so env-override A/Bs at 128+ compile
+    params = {} if interpret else dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024))
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, blk_b=BLK_B),
+        functools.partial(_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((Bp, H, S, dh), q.dtype),
         grid_spec=pl.GridSpec(
             grid=(Bp // BLK_B, H),
@@ -102,6 +119,7 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                       bytes_accessed=bytes_accessed,
                                       transcendentals=Bp * H * S * S),
         # interpret mode lets the CPU test mesh execute the same kernel
-        interpret=jax.default_backend() == "cpu",
+        interpret=interpret,
+        **params,
     )(q, k, v, key_bias.astype(jnp.float32))
     return out.transpose(0, 2, 1, 3)[:B]

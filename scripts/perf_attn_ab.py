@@ -74,14 +74,17 @@ def main():
     bias = jax.device_put(bert.extended_attention_mask(jnp.asarray(mask)))
 
     # correctness: fused == einsum on a small slice, on this backend
-    small = 64
-    a = bert.encoder(p, hidden[:small], bias[:small], cfg, unroll=True)
-    b = bert.encoder(p, hidden[:small], bias[:small], cfg, unroll=True,
-                     fused_attn=True)
-    err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                - b.astype(jnp.float32))))
-    print(f"  fused-vs-einsum max abs diff (12 layers, bf16): {err:.5f}",
-          flush=True)
+    # (skipped when specific variants are requested — parity is pinned by
+    # tests/test_pallas_kernels.py; the two extra compiles are dead time)
+    if not want or "check" in want:
+        small = 64
+        a = bert.encoder(p, hidden[:small], bias[:small], cfg, unroll=True)
+        b = bert.encoder(p, hidden[:small], bias[:small], cfg, unroll=True,
+                         fused_attn=True)
+        err = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                    - b.astype(jnp.float32))))
+        print(f"  fused-vs-einsum max abs diff (12 layers, bf16): {err:.5f}",
+              flush=True)
 
     def run(name, fn, args):
         if want and name not in want:
