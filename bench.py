@@ -22,6 +22,7 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -77,6 +78,10 @@ def measure(params, cfg, num_clips: int, batch_videos: int) -> float:
             b = dict(batch)
             b["visual_inputs"] = (batch["visual_inputs"]
                                   + (carry * 1e-30).astype(jnp.bfloat16))
+            # NO fused attention here: at this unit's BERT batch (128 joint
+            # sequences) the Pallas kernel measured 1271 vs 1318 clips/s —
+            # its HBM saving scales with batch and only pays off at the
+            # full-matrix scoring shape (B~8192, steps.make_text_score_step)
             logits = steps.mil_forward(params, cfg, ts, b, RngGen(None),
                                        False, jnp.bfloat16)
             return logits.astype(jnp.float32).sum(), None

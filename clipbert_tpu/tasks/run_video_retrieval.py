@@ -131,7 +131,8 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
         train_n_clips=cfg.inference_n_clips, group_size=1)
     encode_fn = steps.make_visual_encode_step(compute_dtype=compute_dtype)
     prob_fn = steps.make_text_prob_step(model_cfg, ts,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype,
+                                        mesh=mesh)
 
     caps = eval_ds.encode_all_captions()
     n_caps = caps["text_input_ids"].shape[0]

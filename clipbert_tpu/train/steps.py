@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clipbert_tpu.core.config import ModelConfig
+from clipbert_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 from clipbert_tpu.core.rng import RngGen
 from clipbert_tpu.models import clipbert
 from clipbert_tpu.train import optim, sched
@@ -112,7 +113,8 @@ def init_train_state(params: Params) -> TrainState:
 
 def mil_forward(params: Params, cfg: ModelConfig, ts: TaskSettings,
                 batch: Dict[str, jnp.ndarray], rngs: RngGen, train: bool,
-                compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                compute_dtype=jnp.bfloat16,
+                fused_attn: bool = False) -> jnp.ndarray:
     """All `train_n_clips` clips through CNN+BERT as ONE batched program.
 
     batch["visual_inputs"]: (B_v, num_clips * num_frm, H, W, 3)
@@ -148,7 +150,8 @@ def mil_forward(params: Params, cfg: ModelConfig, ts: TaskSettings,
     out = clipbert.clipbert_forward(
         params, cfg, {"text_input_ids": ids, "text_input_mask": mask},
         ts.head_type, train=train, rngs=rngs, compute_dtype=compute_dtype,
-        visual_features=feats, group_size=1, remat=ts.remat and train)
+        visual_features=feats, group_size=1, remat=ts.remat and train,
+        fused_attn=fused_attn)
     logits = out["logits"]  # (nc*B_t, L_head)
 
     if ts.head_type == "multi_choice":
@@ -362,12 +365,19 @@ def make_train_step(cfg: ModelConfig, ts: TaskSettings, oc: OptimConfig,
 
 
 def make_eval_step(cfg: ModelConfig, ts: TaskSettings,
-                   compute_dtype=jnp.bfloat16) -> Callable:
-    """Forward-only step: (params, batch) -> {pooled logits, per-clip logits}."""
+                   compute_dtype=jnp.bfloat16,
+                   fused_attn: bool = False) -> Callable:
+    """Forward-only step: (params, batch) -> {pooled logits, per-clip logits}.
+
+    fused_attn defaults OFF here (unlike the cached-feature scoring
+    programs): eval batches put at most a few hundred joint sequences
+    through BERT per step, and at that size the Pallas kernel measured a
+    net LOSS on the bench unit (1271 vs 1318 clips/s at 128 sequences) —
+    the HBM score-tensor saving it exists for scales with batch."""
 
     def step(params, batch):
         clip_logits = mil_forward(params, cfg, ts, batch, RngGen(None),
-                                  False, compute_dtype)
+                                  False, compute_dtype, fused_attn=fused_attn)
         return {"clip_logits": clip_logits,
                 "logits": pool_clip_logits(clip_logits, ts.score_agg_func)}
 
@@ -411,29 +421,47 @@ def make_visual_encode_step(compute_dtype=jnp.bfloat16) -> Callable:
     return jax.jit(step)
 
 
-def fused_attn_default() -> bool:
+def fused_attn_default(mesh: Optional[Mesh] = None) -> bool:
     """Whether inference scoring programs take the Pallas fused-attention
     core (ops/pallas_attention.py). Measured on the real chip at the
     retrieval scoring shape (scripts/perf_attn_ab.py, B=8192 seq=69): the
-    12-layer encoder goes 58.3 -> 68.8 TF/s (+18%) because the fp32
+    12-layer encoder goes 58.3 -> 71.8 TF/s (+23%) because the fp32
     (B, H, S, S) score tensor stays in VMEM instead of round-tripping HBM.
-    Mosaic kernels are not partitioned by GSPMD, so auto-enable only when
-    this process drives ONE device (the bench/serving topology); multi-chip
-    hosts keep the einsum path, whose batch inputs shard over the mesh.
-    The backend test is != "cpu" (the dev tunnel reports platform "axon"),
-    matching compile_cache/pallas interpret gating."""
-    return (jax.default_backend() != "cpu"
-            and jax.local_device_count() == 1)
+
+    Mosaic kernels are not partitioned by GSPMD, so: auto-on when this
+    process drives ONE device (the bench/serving topology), and on
+    multi-device hosts only when the caller passes a data-parallel `mesh`
+    — the scoring step then runs under shard_map (make_text_score_step),
+    which executes the kernel per-device. A tensor-parallel mesh
+    (model axis > 1) keeps the einsum path: TP shards the attention heads,
+    which the batch-blocked kernel does not. The backend test is != "cpu"
+    (the dev tunnel reports platform "axon"), matching
+    compile_cache/pallas interpret gating."""
+    if jax.default_backend() == "cpu":
+        return False
+    if jax.local_device_count() == 1:
+        return True
+    return mesh is not None and mesh.shape[MODEL_AXIS] == 1
 
 
 def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
                          compute_dtype=jnp.bfloat16,
-                         fused_attn: Optional[bool] = None) -> Callable:
+                         fused_attn: Optional[bool] = None,
+                         mesh: Optional[Mesh] = None) -> Callable:
     """(params, feats (B_v, nc, T, Hg, Wg, D), ids (B_t, Lt), mask) ->
     (B_v, B_t, nc, L) logits: a batch of cached videos' clips scored against
     a text minibatch. Videos AND clips fold into one big BERT batch
-    (B_v*nc*B_t sequences) so the MXU stays saturated."""
-    fused = fused_attn_default() if fused_attn is None else fused_attn
+    (B_v*nc*B_t sequences) so the MXU stays saturated.
+
+    With a multi-device data-parallel `mesh` AND the fused attention core,
+    the step runs under `jax.shard_map` over the caption axis (params and
+    cached features replicated, ids/mask and the output's B_t dim sharded
+    on `data`) — each device executes the whole scoring chain including
+    the Mosaic kernel on its caption shard, since GSPMD cannot partition
+    a pallas_call. The caption minibatch must divide by the mesh `data`
+    size (inference_retrieval already rounds it up). The einsum path needs
+    no wrapper: its batch inputs shard under plain GSPMD."""
+    fused = fused_attn_default(mesh) if fused_attn is None else fused_attn
 
     def step(params, feats, ids, mask):
         B_v, nc = feats.shape[:2]
@@ -453,20 +481,30 @@ def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
             unroll=True, fused_attn=fused)
         return out["logits"].reshape(B_v, nc, B_t, -1).transpose(0, 2, 1, 3)
 
+    if fused and mesh is not None and mesh.shape[DATA_AXIS] > 1:
+        # check_vma needs varying-mesh-axes annotations pallas_call's
+        # out_shape doesn't carry; the specs here are total (every input
+        # and the output fully described), so the check adds nothing
+        step = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(None, DATA_AXIS), check_vma=False)
     return jax.jit(step)
 
 
 def make_text_prob_step(cfg: ModelConfig, ts: TaskSettings,
                         compute_dtype=jnp.bfloat16,
-                        fused_attn: Optional[bool] = None) -> Callable:
+                        fused_attn: Optional[bool] = None,
+                        mesh: Optional[Mesh] = None) -> Callable:
     """Like make_text_score_step but with clip pooling + softmax/sigmoid
     fused into the SAME program, returning (B_v, B_t) fp32 positive-class
     probabilities (run_video_retrieval.py:679-682 semantics). Callers fetch
     ONE array per video batch instead of one per caption minibatch — on
     remote/tunneled hosts the per-fetch RTT otherwise serializes the
-    scoring loop."""
+    scoring loop. `mesh` enables the fused-attention core on multi-device
+    hosts (see make_text_score_step)."""
 
-    score = make_text_score_step(cfg, ts, compute_dtype, fused_attn)
+    score = make_text_score_step(cfg, ts, compute_dtype, fused_attn, mesh)
 
     def step(params, feats, ids, mask):
         clip_logits = score(params, feats, ids, mask)   # (B_v, B_t, nc, L)

@@ -173,3 +173,43 @@ def test_fused_attention_in_encoder(rng_np):
     got = bert.encoder(p, hidden, bias, cfg, fused_attn=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_attention_sharded_scoring_program(rng_np):
+    """make_text_prob_step(fused_attn=True, mesh=8-device mesh) — the
+    multi-chip inference configuration — runs the Pallas kernel under
+    shard_map over the caption axis and equals the plain GSPMD einsum
+    program on the same cached features and captions."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.core.config import ModelConfig
+    from clipbert_tpu.core.mesh import data_shard, make_mesh
+    from clipbert_tpu.models import clipbert
+    from clipbert_tpu.train import steps
+
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=64,
+                      max_grid_row_position_embeddings=8,
+                      max_grid_col_position_embeddings=8, num_labels=2)
+    ts = steps.TaskSettings(head_type="retrieval", num_labels=2,
+                            loss_type="ce", score_agg_func="lse",
+                            train_n_clips=2, group_size=1)
+    params = clipbert.init_clipbert(jax.random.key(1), cfg, "retrieval")
+    feats = jnp.asarray(rng_np.standard_normal((2, 2, 1, 3, 3, 32)) * 0.1,
+                        jnp.float32)
+    # caption minibatch divides the mesh data axis (inference_retrieval
+    # rounds it up the same way) and is sharded like the production loader
+    ids_np = rng_np.integers(0, 64, (8, 7)).astype(np.int32)
+    mask_np = np.ones((8, 7), np.int32)
+    mask_np[:, 5:] = 0
+    ids = jax.device_put(ids_np, data_shard(mesh))
+    mask = jax.device_put(mask_np, data_shard(mesh))
+    ref = steps.make_text_prob_step(cfg, ts, jnp.float32, fused_attn=False)(
+        params, feats, jnp.asarray(ids_np), jnp.asarray(mask_np))
+    got = steps.make_text_prob_step(cfg, ts, jnp.float32, fused_attn=True,
+                                    mesh=mesh)(params, feats, ids, mask)
+    assert got.shape == (2, 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
