@@ -81,8 +81,12 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     KEY position (the HF (1-mask)*-10000 convention, broadcast over queries
     and heads). Returns (B, S, H, dh) in q.dtype.
     """
-    BLK_B = blk_b or globals()["BLK_B"]
     B, S, H, dh = q.shape
+    # adapt the block to small batches: a single-query serving call (B=8
+    # captions x 1 clip) must not pad 8x to the eval-shape optimum — the
+    # kernel at block<=B was measured latency-neutral vs einsum there,
+    # while padding to 64 cost ~20 ms p50 (scripts/bench_serving.py)
+    BLK_B = min(blk_b or globals()["BLK_B"], _cdiv(B, 8) * 8)
     assert k.shape == q.shape and v.shape == q.shape
     assert key_bias.shape == (B, S), (key_bias.shape, (B, S))
 
