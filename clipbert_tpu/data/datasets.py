@@ -565,21 +565,38 @@ class VQADataset(BaseDataset):
     """datalist: list of (img_id, [ {"txt", "question_id",
     "labels"? {ans: score}, "answer_type"?}, ... ]) (dataset_vqa.py:8-72)."""
 
-    def __init__(self, datalist, *args, ans2label: Optional[Dict] = None, **kw):
+    def __init__(self, datalist, *args, ans2label: Optional[Dict] = None,
+                 is_train: bool = False, **kw):
         super().__init__(datalist, *args, **kw)
         self.ans2label = ans2label or {}
         self.num_labels = len(self.ans2label)
         self.label2ans = {v: k for k, v in self.ans2label.items()}
+        self.is_train = is_train
         self.qid2data = {d["question_id"]: d
                          for _, group in datalist for d in group}
 
     def __getitem__(self, index: int) -> Dict[str, Any]:
-        img_id, examples = self.datalist[index]
-        arr = self.load_image(img_id)
-        if arr is None:
-            # degrade-don't-die (matches the video eval datasets): a missing
-            # or corrupt image scores ~chance instead of killing the run
-            arr = self.eval_fallback_frames(img_id, 1)
+        if self.is_train:
+            # train: retry-with-resample (dataset_pretrain.py:46-59) — NEVER
+            # substitute black frames here, that would silently train on
+            # (black image, real label) pairs
+            rng = self.item_rng(index)
+            for idx in self._retry_indices(index, rng=rng):
+                img_id, examples = self.datalist[idx]
+                arr = self.load_image(img_id)
+                if arr is not None:
+                    break
+            else:
+                raise RuntimeError(f"failed to load image for index {index}")
+        else:
+            img_id, examples = self.datalist[index]
+            arr = self.load_image(img_id)
+            if arr is None:
+                # eval: degrade-don't-die (matches the video eval datasets):
+                # a missing or corrupt image scores ~chance instead of
+                # killing the run; never resample here (its question_ids
+                # would replace this one's in the results)
+                arr = self.eval_fallback_frames(img_id, 1)
         out = []
         for e in examples:
             ex = {"text_str": e["txt"], "question_id": e["question_id"]}

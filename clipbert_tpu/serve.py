@@ -28,6 +28,7 @@ ships native-size uint8 (device resize) rather than 448^2 floats.
 from __future__ import annotations
 
 import base64
+import binascii
 import json
 from typing import Dict, List, Optional, Sequence
 
@@ -51,6 +52,52 @@ def _pow2_bucket(n: int, cap: int) -> int:
     while b < n:
         b *= 2
     return min(b, cap)
+
+
+def _prepare_params(params, fold_bn: bool):
+    """Shared scorer-constructor preamble: latch the persistent compile
+    cache (restarts must not pay the minutes-long server-side recompile;
+    serve never builds a mesh, where the runners latch it), fold the
+    frozen-BN scales into the conv kernels, move params to device."""
+    from clipbert_tpu.core import compile_cache
+    compile_cache.enable()
+    if fold_bn:
+        params = clipbert.fold_cnn_bn_scales(params)
+    return jax.device_put(params)
+
+
+def _device_pixels(frames: np.ndarray, max_img_size: int, mean, std, dtype):
+    """(T, H, W, 3) uint8 native frames -> (1, T, S, S, 3) device pixels:
+    bucket-pad (compile reuse) + jitted resize/pad/normalize."""
+    h, w = frames.shape[1:3]
+    frames = _round_to_collate_bucket(frames)
+    nh, nw = transforms.get_resize_size(h, w, max_img_size)
+    src_hw = np.array([[h, w, nh, nw]], np.int32)
+    return transforms.device_preprocess(frames[None], src_hw, max_img_size,
+                                        mean, std, dtype)
+
+
+def _topk_answers(probs: np.ndarray, label2ans: Dict[int, str],
+                  top_k: int) -> List[List[Dict]]:
+    """(n, num_labels) probabilities -> per-row top-k
+    [{"answer", "score"}], best first."""
+    k = min(top_k, probs.shape[1])
+    out = []
+    for row in probs:
+        top = np.argsort(-row)[:k]
+        out.append([{"answer": label2ans.get(int(i), str(int(i))),
+                     "score": float(row[i])} for i in top])
+    return out
+
+
+def _text_buckets(cap: int):
+    """Every power-of-two text-count bucket a scorer can compile (4..cap)."""
+    b = 4
+    while True:
+        yield min(b, cap)
+        if b >= cap:
+            return
+        b *= 2
 
 
 def _round_to_collate_bucket(frames: np.ndarray) -> np.ndarray:
@@ -89,13 +136,8 @@ class _ResidentVideoScorer:
         frames = self._decode_clips(video_bytes)
         if frames is None:
             raise ValueError("undecodable video payload")
-        h, w = frames.shape[1:3]
-        frames = _round_to_collate_bucket(frames)
-        nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
-        src_hw = np.array([[h, w, nh, nw]], np.int32)
-        pixels = transforms.device_preprocess(
-            frames[None], src_hw, self.max_img_size, self.mean, self.std,
-            self.compute_dtype)
+        pixels = _device_pixels(frames, self.max_img_size, self.mean,
+                                self.std, self.compute_dtype)
         # (1, n_clips*T, S, S, 3) -> (n_clips, T, S, S, 3)
         pixels = pixels.reshape((self.n_clips, self.num_frm)
                                 + pixels.shape[2:])
@@ -135,14 +177,7 @@ class RetrievalScorer(_ResidentVideoScorer):
                  mean=transforms.IMAGENET_MEAN_255,
                  std=transforms.IMAGENET_STD_1,
                  compute_dtype=jnp.bfloat16, fold_bn: bool = True):
-        # restarts must not pay the minutes-long server-side recompile:
-        # latch the persistent compile cache exactly as make_mesh does for
-        # the task runners (serve never builds a mesh)
-        from clipbert_tpu.core import compile_cache
-        compile_cache.enable()
-        if fold_bn:
-            params = clipbert.fold_cnn_bn_scales(params)
-        self.params = jax.device_put(params)
+        self.params = _prepare_params(params, fold_bn)
         self.model_cfg = model_cfg
         self.tokenizer = tokenizer
         self.num_frm = num_frm
@@ -198,20 +233,20 @@ class RetrievalScorer(_ResidentVideoScorer):
         probs = np.asarray(self._prob(self.params, features, ids, mask))
         return probs[0, :n]
 
-    def warmup(self, sample_hw=(240, 320)) -> None:
-        """Compile every steady-state program (encode + all caption
-        buckets) before taking traffic."""
-        h, w = sample_hw
-        frames = np.zeros((self.n_clips * self.num_frm, h, w, 3), np.uint8)
-        blob = video.encode_jseq_from_array(frames, fps=max(self.fps, 1.0))
-        feats = self.encode_video(blob)
-        b = 4
-        while True:
-            self.score(None, ["warmup"] * min(b, self.max_captions),
-                       features=feats)
-            if b >= self.max_captions:
-                break
-            b *= 2
+    def warmup(self, sample_hws=((240, 320),)) -> None:
+        """Compile the steady-state programs before taking traffic: the
+        encode program for EACH listed (h, w) — resolution buckets are 64px,
+        so a query in an unlisted bucket pays a fresh server-side compile on
+        first arrival — plus every caption bucket."""
+        feats = None
+        for h, w in sample_hws:
+            frames = np.zeros((self.n_clips * self.num_frm, h, w, 3),
+                              np.uint8)
+            blob = video.encode_jseq_from_array(frames,
+                                                fps=max(self.fps, 1.0))
+            feats = self.encode_video(blob)
+        for b in _text_buckets(self.max_captions):
+            self.score(None, ["warmup"] * b, features=feats)
         LOGGER.info("RetrievalScorer warm: encode + caption buckets ready")
 
 
@@ -232,11 +267,7 @@ class VQAScorer:
                  mean=transforms.IMAGENET_MEAN_255,
                  std=transforms.IMAGENET_STD_1,
                  compute_dtype=jnp.bfloat16, fold_bn: bool = True):
-        from clipbert_tpu.core import compile_cache
-        compile_cache.enable()
-        if fold_bn:
-            params = clipbert.fold_cnn_bn_scales(params)
-        self.params = jax.device_put(params)
+        self.params = _prepare_params(params, fold_bn)
         self.model_cfg = model_cfg
         self.tokenizer = tokenizer
         self.label2ans = {int(k): v for k, v in label2ans.items()}
@@ -279,13 +310,8 @@ class VQAScorer:
             frames = np.asarray(img.convert("RGB"), np.uint8)[None]
         except Exception as e:
             raise ValueError(f"undecodable image payload: {e}") from None
-        h, w = frames.shape[1:3]
-        frames = _round_to_collate_bucket(frames)
-        nh, nw = transforms.get_resize_size(h, w, self.max_img_size)
-        src_hw = np.array([[h, w, nh, nw]], np.int32)
-        pixels = transforms.device_preprocess(
-            frames[None], src_hw, self.max_img_size, self.mean, self.std,
-            self.compute_dtype)
+        pixels = _device_pixels(frames, self.max_img_size, self.mean,
+                                self.std, self.compute_dtype)
         return self._encode(self.params, pixels)    # (1, 1, Hg, Wg, D)
 
     def answer(self, image_bytes: Optional[bytes],
@@ -303,28 +329,21 @@ class VQAScorer:
                                _pow2_bucket(n, self.max_questions))
         probs = np.asarray(self._answer(self.params, features,
                                         ids, mask))[:n]
-        k = min(top_k, probs.shape[1])
-        out = []
-        for row in probs:
-            top = np.argsort(-row)[:k]
-            out.append([{"answer": self.label2ans.get(int(i), str(int(i))),
-                         "score": float(row[i])} for i in top])
-        return out
+        return _topk_answers(probs, self.label2ans, top_k)
 
-    def warmup(self, sample_hw=(480, 640)) -> None:
+    def warmup(self, sample_hws=((480, 640),)) -> None:
+        """See RetrievalScorer.warmup: one encode compile per listed
+        resolution bucket + every question bucket."""
         import io
         from PIL import Image
-        buf = io.BytesIO()
-        Image.fromarray(np.zeros(sample_hw + (3,), np.uint8)).save(
-            buf, format="JPEG")
-        feats = self.encode_image(buf.getvalue())
-        b = 4
-        while True:
-            self.answer(None, ["warmup"] * min(b, self.max_questions),
-                        features=feats)
-            if b >= self.max_questions:
-                break
-            b *= 2
+        feats = None
+        for hw in sample_hws:
+            buf = io.BytesIO()
+            Image.fromarray(np.zeros(tuple(hw) + (3,), np.uint8)).save(
+                buf, format="JPEG")
+            feats = self.encode_image(buf.getvalue())
+        for b in _text_buckets(self.max_questions):
+            self.answer(None, ["warmup"] * b, features=feats)
         LOGGER.info("VQAScorer warm: encode + question buckets ready")
 
 
@@ -356,11 +375,7 @@ class VideoQAScorer(_ResidentVideoScorer):
                  mean=transforms.IMAGENET_MEAN_255,
                  std=transforms.IMAGENET_STD_1,
                  compute_dtype=jnp.bfloat16, fold_bn: bool = True):
-        from clipbert_tpu.core import compile_cache
-        compile_cache.enable()
-        if fold_bn:
-            params = clipbert.fold_cnn_bn_scales(params)
-        self.params = jax.device_put(params)
+        self.params = _prepare_params(params, fold_bn)
         self.model_cfg = model_cfg
         self.tokenizer = tokenizer
         self.task = task
@@ -430,13 +445,7 @@ class VideoQAScorer(_ResidentVideoScorer):
         ids, mask = self._pad_texts(
             questions, _pow2_bucket(n, self.max_questions))
         probs = np.asarray(self._prob(self.params, features, ids, mask))[:n]
-        k = min(top_k, probs.shape[1])
-        out = []
-        for row in probs:
-            top = np.argsort(-row)[:k]
-            out.append([{"answer": self.label2ans.get(int(i), str(int(i))),
-                         "score": float(row[i])} for i in top])
-        return out
+        return _topk_answers(probs, self.label2ans, top_k)
 
     def answer_mc(self, video_bytes: Optional[bytes], question: str,
                   options: Sequence[str], features=None) -> np.ndarray:
@@ -452,23 +461,22 @@ class VideoQAScorer(_ResidentVideoScorer):
         probs = np.asarray(self._prob(self.params, features, ids, mask))
         return probs[0]
 
-    def warmup(self, sample_hw=(240, 320)) -> None:
-        """Compile every steady-state program before taking traffic."""
-        h, w = sample_hw
-        frames = np.zeros((self.n_clips * self.num_frm, h, w, 3), np.uint8)
-        blob = video.encode_jseq_from_array(frames, fps=max(self.fps, 1.0))
-        feats = self.encode_video(blob)
+    def warmup(self, sample_hws=((240, 320),)) -> None:
+        """See RetrievalScorer.warmup: one encode compile per listed
+        resolution bucket + the question/option programs."""
+        feats = None
+        for h, w in sample_hws:
+            frames = np.zeros((self.n_clips * self.num_frm, h, w, 3),
+                              np.uint8)
+            blob = video.encode_jseq_from_array(frames,
+                                                fps=max(self.fps, 1.0))
+            feats = self.encode_video(blob)
         if self.is_mc:
             self.answer_mc(None, "warmup", ["w"] * self.n_options,
                            features=feats)
         else:
-            b = 4
-            while True:
-                self.answer(None, ["warmup"] * min(b, self.max_questions),
-                            features=feats)
-                if b >= self.max_questions:
-                    break
-                b *= 2
+            for b in _text_buckets(self.max_questions):
+                self.answer(None, ["warmup"] * b, features=feats)
         LOGGER.info("VideoQAScorer warm: encode + question programs ready")
 
 
@@ -541,8 +549,18 @@ def make_http_server(scorer=None, host: str = "127.0.0.1",
                         "answer_index": int(np.argmax(probs))})
                 else:
                     self._reply(404, {"error": "not found"})
-            except Exception as e:      # noqa: BLE001 — serving boundary
+            except (KeyError, TypeError, ValueError, AssertionError,
+                    binascii.Error, json.JSONDecodeError) as e:
+                # malformed payload: missing field, bad base64/JSON, bad
+                # type, or a scorer input-validation assert (caption/question
+                # count caps)
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:      # noqa: BLE001 — serving boundary
+                # server-side failure (device fault, scorer bug): 5xx so
+                # load balancers retry/eject instead of blaming the client;
+                # details go to the log, not the caller
+                LOGGER.exception("serving request failed")
+                self._reply(500, {"error": f"internal: {type(e).__name__}"})
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -568,14 +586,24 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--max_captions", type=int, default=32)
     ap.add_argument("--score_agg_func", default="mean",
                     help="clip pooling for video-QA tasks")
+    ap.add_argument("--warmup_resolutions", default="",
+                    help="comma-separated HxW list to pre-compile encode "
+                         "programs for (e.g. '240x320,480x640'); the first "
+                         "query in an unlisted 64px bucket pays a compile")
     args = ap.parse_args(argv)
+    hws = [tuple(int(d) for d in r.split("x"))
+           for r in args.warmup_resolutions.split(",") if r.strip()]
+
+    def warm(s, default):
+        s.warmup(hws or default)
+
     if args.task == "vqa":
         assert args.ans2label_path, "--task vqa needs --ans2label_path"
         vqa = VQAScorer.from_checkpoint(
             args.model_config, args.tokenizer_dir, args.e2e_weights_path,
             args.ans2label_path, max_img_size=args.max_img_size,
             max_questions=args.max_captions)
-        vqa.warmup()
+        warm(vqa, ((480, 640),))
         server = make_http_server(None, args.host, args.port, vqa=vqa)
     elif args.task in MC_QA_TASKS + ("frameqa", "msrvtt_qa"):
         vqa_scorer = VideoQAScorer.from_checkpoint(
@@ -585,7 +613,7 @@ def main(argv: Optional[List[str]] = None):
             max_img_size=args.max_img_size,
             max_questions=args.max_captions,
             score_agg_func=args.score_agg_func)
-        vqa_scorer.warmup()
+        warm(vqa_scorer, ((240, 320),))
         server = make_http_server(None, args.host, args.port,
                                   videoqa=vqa_scorer)
     else:
@@ -593,7 +621,7 @@ def main(argv: Optional[List[str]] = None):
             args.model_config, args.tokenizer_dir, args.e2e_weights_path,
             n_clips=args.n_clips, num_frm=args.num_frm, fps=args.fps,
             max_img_size=args.max_img_size, max_captions=args.max_captions)
-        scorer.warmup()
+        warm(scorer, ((240, 320),))
         server = make_http_server(scorer, args.host, args.port)
     LOGGER.info(f"serving on {args.host}:{args.port}")
     server.serve_forever()

@@ -87,7 +87,8 @@ def start_training(cfg: RunConfig):
                                   cfg.max_n_example_per_group, cfg.seed)
     train_ds = VQADataset(train_groups, tokenizer,
                           common.setup_store(tspec.img),
-                          ans2label=ans2label, max_img_size=cfg.max_img_size,
+                          ans2label=ans2label, is_train=True,
+                          max_img_size=cfg.max_img_size,
                           max_txt_len=cfg.max_txt_len, seed=cfg.seed,
                           device_preprocess=cfg.device_preprocess)
     train_loader, steps_per_epoch = common.build_train_loader(

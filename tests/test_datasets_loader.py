@@ -336,6 +336,30 @@ def test_eval_datasets_degrade_on_undecodable_video(tok, tmp_path):
     assert (vqa[0]["vis"] == 0).all()
     assert vqa[0]["examples"][0]["question_id"] == 3
 
+    # VQA TRAIN must NEVER train on (black image, real label): a missing
+    # image resamples another item (dataset_pretrain.py:46-59 semantics)
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 8, 3), 7, np.uint8)).save(buf, format="JPEG")
+    p2 = str(tmp_path / "train.cbpk")
+    with store.PackWriter(p2) as w:
+        w.put("img_ok", buf.getvalue())
+    s2 = store.open_store(p2)
+    vqa_train = datasets.VQADataset(
+        [("img_gone", [{"txt": "what", "question_id": 3}]),
+         ("img_ok", [{"txt": "who", "question_id": 4}])], tok, s2,
+        max_img_size=32, ans2label={"cat": 0}, is_train=True)
+    item = vqa_train[0]                      # resampled to the good item
+    assert (item["vis"] != 0).any()
+    assert item["examples"][0]["question_id"] == 4
+    # a train store with NO loadable image fails loudly, never black frames
+    vqa_all_bad = datasets.VQADataset(
+        [("img_gone", [{"txt": "what", "question_id": 3}])], tok, s2,
+        max_img_size=32, ans2label={"cat": 0}, is_train=True)
+    with pytest.raises(RuntimeError):
+        vqa_all_bad[0]
+
 
 def test_eval_fallback_respects_device_preprocess_bucket(tok, tmp_path):
     """With device_preprocess=True the black-frame substitute must stay at
