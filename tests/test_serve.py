@@ -417,3 +417,45 @@ def test_http_endpoint_round_trip(setup):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_http_error_codes_split_client_vs_server():
+    """Payload/validation errors are 400; internal scorer failures are 5xx
+    (load balancers must retry/eject, not blame the client) and must not
+    leak exception details to the caller."""
+
+    class _BoomScorer:
+        def score(self, video_bytes, captions):
+            raise RuntimeError("secret internal state: /some/path")
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = make_http_server(_BoomScorer(), "127.0.0.1", port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # missing required field -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({"captions": ["x"]}).encode())
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # scorer raising internally -> 500, details not echoed
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({"video_b64": base64.b64encode(b"x").decode(),
+                             "captions": ["x"]}).encode())
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            body = json.loads(e.read())
+            assert "secret internal state" not in json.dumps(body)
+    finally:
+        server.shutdown()
