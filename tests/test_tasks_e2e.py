@@ -334,3 +334,66 @@ def test_vqa_bf16_compute_path(workspace):
     result = run_vqa.start_training(cfg)
     assert result["global_step"] == 3
     assert np.isfinite(result["history"][-1]["loss"])
+
+
+def test_pretrain_to_finetune_handoff(workspace):
+    """The reference's headline workflow: a pretraining deployment
+    checkpoint fed to a finetune run as --e2e_weights_path (every finetune
+    config pins one, e.g. msrvtt_ret_base_resnet50.json:3-5 in the
+    reference), merged by the mismatch-tolerant loader
+    (load_save.py:71-100, e2e_model.py:41-46): the shared trunk
+    (CNN + BERT embeddings/encoder/pooler) transfers verbatim, the
+    pretrain MLM/ITM head is dropped, the task head keeps its fresh
+    init — and the finetune runner trains from it."""
+    import jax
+
+    from clipbert_tpu.ckpt import checkpoint
+    from clipbert_tpu.core.config import inject_task_attrs
+    from clipbert_tpu.models import clipbert
+    from clipbert_tpu.tasks import common, run_video_retrieval
+    from clipbert_tpu.train import trainer
+
+    root = workspace["root"]
+    rows = [{"vid_id": f"vid{i}", "txt": f"a dog jumps {i}", "id": i}
+            for i in range(8)]
+    ann = root / "handoff_ret.jsonl"
+    write_jsonl(ann, rows)
+
+    # a "pretraining run" that produced a step-addressed deployment ckpt
+    # (pretrain head: transformer/cls MLM+ITM weights)
+    pre_dir = str(root / "handoff_pretrain_out")
+    base = common.load_model_config(base_cfg(workspace, "handoff_pretrain_out"))
+    pre_params = clipbert.init_clipbert(jax.random.key(123), base, "pretrain")
+    ckpt_path = checkpoint.ModelSaver(pre_dir).save(7, pre_params)
+
+    cfg = base_cfg(workspace, "handoff_ret_out",
+                   train_datasets=[DatasetSpec(name="ret", txt=str(ann),
+                                               img=workspace["vid_store"])],
+                   val_datasets=[DatasetSpec(name="ret", txt=str(ann),
+                                             img=workspace["vid_store"])],
+                   loss_type="ce", score_agg_func="lse", train_n_clips=2,
+                   inference_n_clips=2, num_frm=1, fps=4, itm_neg_size=1,
+                   e2e_weights_path=ckpt_path)
+    model_cfg = inject_task_attrs(common.load_model_config(cfg), cfg)
+
+    params = trainer.setup_model(cfg, model_cfg, "retrieval")
+    pre_flat = checkpoint.flatten_tree(pre_params)
+    got_flat = checkpoint.flatten_tree(params)
+    fresh_flat = checkpoint.flatten_tree(clipbert.init_clipbert(
+        jax.random.key(cfg.seed), model_cfg, "retrieval"))
+
+    trunk = [k for k in got_flat
+             if k.startswith("cnn/") or k.startswith("transformer/bert/")]
+    assert trunk
+    for k in trunk:
+        np.testing.assert_array_equal(got_flat[k], pre_flat[k], err_msg=k)
+    head = [k for k in got_flat if k.startswith("transformer/classifier")]
+    assert head
+    for k in head:
+        assert k not in pre_flat  # pretrain ckpt has cls, not classifier
+        np.testing.assert_array_equal(got_flat[k], fresh_flat[k], err_msg=k)
+
+    # and the full finetune runner consumes the checkpoint end-to-end
+    result = run_video_retrieval.start_training(cfg)
+    assert result["global_step"] == 3
+    assert "t2v_r1" in result["history"][-1]["val"]
