@@ -98,6 +98,98 @@ def test_inference_video_batch_size_survives_restore():
     assert merged.train_batch_size == 8
 
 
+REF_CFG_DIR = "/root/reference/src/configs"
+
+# Reference key -> our key (TPU renames: fp16/amp -> bf16 policy; the
+# detectron2 weights path is just a backbone weights path here).
+_REF_KEY_RENAMES = {
+    "fp16": "bf16",
+    "detectron2_weights_path": "backbone_weights_path",
+}
+# Reference-only keys with no counterpart in this framework: the backbone
+# architecture is built into models/resnet.py (no detectron2 YAML), and
+# HF's `model_type` tag is meaningless outside transformers' auto-loading.
+_REF_KEYS_DROPPED = {"detectron2_model_cfg", "model_type"}
+# Ours-only keys that merely restate the reference's argparse default for
+# that task (reference src/configs/config.py defaults; get_vqa_args
+# loss_type default "bce" at :318, itm_neg_prob 0.5 at :276,
+# score_agg_func "mean" at :99). Any key containing "inference" is also
+# permitted: the reference supplies those per-run on the CLI
+# (README.md:109-124) and they are excluded from training-args restore.
+_OURS_ONLY_DEFAULTS = {
+    "score_agg_func": "mean",
+    "itm_neg_prob": 0.5,
+    "loss_type": {"vqa_base_resnet50.json": "bce"},
+}
+
+
+def _norm_cfg_value(key, value):
+    if key == "model_config" and isinstance(value, str):
+        # reference paths are repo-rooted under src/
+        return value[len("src/"):] if value.startswith("src/") else value
+    if key in ("train_datasets", "val_datasets"):
+        out = []
+        for d in value:
+            d = {k: (v.rstrip("/") if isinstance(v, str) and "/" in v else v)
+                 for k, v in d.items()}
+            out.append(tuple(sorted(d.items(), key=lambda kv: kv[0])))
+        return out
+    if isinstance(value, bool):
+        return int(value)
+    return value
+
+
+def test_shipped_configs_match_reference_values():
+    """Every shipped JSON reproduces the reference's shipped values
+    key-for-key, modulo the explicit rename/drop/default allowlists above —
+    so hyperparameter drift can never silently recur (VERDICT r3 #2)."""
+    import json
+
+    import pytest
+
+    if not os.path.isdir(REF_CFG_DIR):
+        pytest.skip("reference checkout not available")
+
+    ref_paths = sorted(glob.glob(os.path.join(REF_CFG_DIR, "*.json")))
+    assert len(ref_paths) == 10
+    for ref_path in ref_paths:
+        name = os.path.basename(ref_path)
+        ours_path = os.path.join(CFG_DIR, name)
+        assert os.path.exists(ours_path), f"missing shipped config {name}"
+        with open(ref_path) as f:
+            ref = json.load(f)
+        with open(ours_path) as f:
+            ours = json.load(f)
+
+        problems = []
+        for ref_key, ref_val in ref.items():
+            if ref_key in _REF_KEYS_DROPPED:
+                continue
+            our_key = _REF_KEY_RENAMES.get(ref_key, ref_key)
+            if our_key not in ours:
+                problems.append(f"missing key {our_key!r} (ref {ref_key!r})")
+                continue
+            got = _norm_cfg_value(our_key, ours.pop(our_key))
+            want = _norm_cfg_value(ref_key, ref_val)
+            if got != want:
+                problems.append(f"{our_key}: ours={got!r} != ref={want!r}")
+        # remaining ours-only keys must be allowlisted restatements
+        for key, val in ours.items():
+            if "inference" in key:
+                continue
+            if key == "backbone_weights_path" and "detectron2_weights_path" \
+                    not in ref:
+                problems.append(f"extra key {key!r}")
+                continue
+            allowed = _OURS_ONLY_DEFAULTS.get(key)
+            if isinstance(allowed, dict):
+                allowed = allowed.get(name, object())
+            if key not in _OURS_ONLY_DEFAULTS or val != allowed:
+                problems.append(f"extra key {key!r}={val!r} not an "
+                                "allowlisted reference-default restatement")
+        assert not problems, f"{name}: " + "; ".join(problems)
+
+
 def test_vestigial_knobs_fail_loudly():
     """Accepted-but-unimplemented reference values must error, not silently
     substitute (reference's sgd/cnn_optim and linear/classifier branches are
