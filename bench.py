@@ -101,7 +101,7 @@ def measure(params, cfg, num_clips: int, batch_videos: int) -> float:
     return best
 
 
-def measure_data_plane(params, device_rate: float, n_videos: int = 8):
+def measure_data_plane(params, device_rate: float, n_videos: int = 24):
     """Decode-inclusive rates on REAL mp4 bytes (the north-star unit names
     decode→ResNet→BERT, BASELINE.json; reference decode path
     `/root/reference/src/datasets/decoder.py:203-283`):
@@ -112,7 +112,15 @@ def measure_data_plane(params, device_rate: float, n_videos: int = 8):
                              (threaded decode → in-thread device_put →
                              jitted device resize → cached encode → scoring)
       binding_constraint   — which of {host-decode, h2d-transfer,
-                             device-compute} bounds e2e on THIS host
+                             device-compute} bounds e2e on THIS host; when
+                             the measured e2e sits below HALF the slowest
+                             stage the label is "pipeline-overhead" and the
+                             e2e_*_s stage attribution says where it went —
+                             the artifact must never blame a stage the
+                             numbers don't support (round-3 lesson: a fresh
+                             jit per call re-traced the unrolled scoring
+                             program and the 14.3 clips/s got labeled
+                             h2d-transfer)
 
     On the tunneled dev box the binding constraint is H2D (~30 MB/s
     measured); production TPU hosts are PCIe-class, where decode cores per
@@ -169,7 +177,7 @@ def measure_data_plane(params, device_rate: float, n_videos: int = 8):
     rcfg = RunConfig(loss_type="ce", num_labels=2, inference_n_clips=16,
                      num_frm=NUM_FRM, max_img_size=IMG, max_txt_len=TXT_LEN,
                      score_agg_func="lse", inference_batch_size=8,
-                     inference_video_batch_size=4,
+                     inference_video_batch_size=8,
                      n_workers=max(4, os.cpu_count() or 1), fps=1)
     model_cfg = ModelConfig(num_labels=2, loss_type="ce",
                             score_agg_func="lse")
@@ -177,17 +185,26 @@ def measure_data_plane(params, device_rate: float, n_videos: int = 8):
     import jax.numpy as jnp
     inference_retrieval(rcfg, model_cfg, params, make_ds(datalist[:2]),
                         mesh, jnp.bfloat16)        # compile warmup
+    stage_stats = {}
     t0 = time.perf_counter()
-    inference_retrieval(rcfg, model_cfg, params, ds, mesh, jnp.bfloat16)
+    inference_retrieval(rcfg, model_cfg, params, ds, mesh, jnp.bfloat16,
+                        stage_stats=stage_stats)
     e2e_rate = n_videos * 16 / (time.perf_counter() - t0)
 
     stages = {"host-decode": decode_rate, "h2d-transfer": transfer_rate,
               "device-compute": device_rate}
+    bound = min(stages, key=stages.get)
+    if e2e_rate < 0.5 * stages[bound]:
+        bound = "pipeline-overhead"
     return {"decode_clips_per_sec": round(decode_rate, 2),
             "h2d_MBps": round(h2d_mbps, 1),
             "e2e_clips_per_sec": round(e2e_rate, 2),
-            "binding_constraint": min(stages, key=stages.get),
-            "host_cores": os.cpu_count()}
+            "binding_constraint": bound,
+            "host_cores": os.cpu_count(),
+            # stage attribution for the e2e loop (inference_retrieval
+            # stage_stats): where each wall second went
+            **{f"e2e_{k}": round(v, 3) if isinstance(v, float) else v
+               for k, v in stage_stats.items()}}
 
 
 def main():

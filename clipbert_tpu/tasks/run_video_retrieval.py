@@ -110,7 +110,7 @@ def start_training(cfg: RunConfig):
 
 def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
                         eval_ds: VideoRetrievalEvalDataset, mesh,
-                        compute_dtype) -> Dict:
+                        compute_dtype, stage_stats: Dict = None) -> Dict:
     """Full (n_videos x n_captions) score matrix with cached visual features.
 
     Scores use the softmax positive-class probability for ce heads and
@@ -119,7 +119,16 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
     loader and scored cfg.inference_video_batch_size at a time —
     (videos x clips x texts)
     fold into one BERT batch.
+
+    `stage_stats`: optional dict filled with per-stage wall seconds summed
+    over the video loop — `data_wait_s` (blocked on decode+H2D from the
+    prefetch threads), `dispatch_s` (preprocess/encode/score dispatches),
+    `fetch_s` (the one per-group D2H score fetch), plus `setup_s` and
+    `n_groups` — so pipeline overhead is attributable, not inferred
+    (bench.py's binding_constraint check).
     """
+    import time as _time
+    t_setup = _time.perf_counter()
     # videos are sharded across hosts (index striding below); each host
     # scores its shard on ITS devices — the local submesh — and the rows
     # merge via all_gather_objects at the end
@@ -183,8 +192,19 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
         with ThreadPoolExecutor(max(2, cfg.n_workers)) as pool:
             yield from pool.map(load, groups)
 
+    st = {"setup_s": _time.perf_counter() - t_setup, "data_wait_s": 0.0,
+          "dispatch_s": 0.0, "fetch_s": 0.0, "n_groups": 0}
     rows = []  # (video_idx, scores (n_caps,))
-    for group, vis, src_hw in video_batches():
+    batches_iter = iter(video_batches())
+    while True:
+        t0 = _time.perf_counter()
+        nxt = next(batches_iter, None)
+        st["data_wait_s"] += _time.perf_counter() - t0
+        if nxt is None:
+            break
+        group, vis, src_hw = nxt
+        st["n_groups"] += 1
+        t0 = _time.perf_counter()
         # vis: (vb, n_clips*nf, S, S, 3) uint8 -> (vb*nc, nf, S, S, 3);
         # native-size batches go through the jitted device resize instead
         nc = vis.shape[1] // nf
@@ -206,9 +226,15 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
         # ceil(n_caps/bsz) times per group
         parts = [prob_fn(params, feats, ids, mask)[:, :n_valid]
                  for ids, mask, n_valid in cap_batches]
-        scores = np.asarray(jnp.concatenate(parts, axis=1), np.float32)
+        scores_dev = jnp.concatenate(parts, axis=1)
+        st["dispatch_s"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        scores = np.asarray(scores_dev, np.float32)
+        st["fetch_s"] += _time.perf_counter() - t0
         for j, vidx in enumerate(group):
             rows.append((vidx, scores[j]))
+    if stage_stats is not None:
+        stage_stats.update(st)
 
     gathered = dist.all_gather_objects(rows)
     all_rows = sorted([r for rank in gathered for r in rank])

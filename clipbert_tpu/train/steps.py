@@ -34,6 +34,8 @@ TPU-first design (deliberately NOT a translation):
 
 from __future__ import annotations
 
+import dataclasses
+import threading
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
@@ -69,7 +71,7 @@ class TaskSettings:
     use_mlm: bool = True
     use_itm: bool = True
     scale_loss_by_num_labels: bool = False  # VQA bce convention
-    remat: bool = False             # checkpoint the encoder scan body
+    remat: Any = False   # False|True|'stage'|'block'|'early' (resnet50_forward)
 
 
 @dataclass(frozen=True)
@@ -135,7 +137,7 @@ def mil_forward(params: Params, cfg: ModelConfig, ts: TaskSettings,
     vis = vis.reshape(B_v, nc, nf, H, W, C).transpose(1, 0, 2, 3, 4, 5)
     vis = vis.reshape(nc * B_v, nf, H, W, C)
     feats = clipbert.cnn_forward(params["cnn"], vis, compute_dtype,
-                                 remat=ts.remat and train)
+                                 remat=(ts.remat if train else False))
     # fan out to texts: consecutive repeat inside each clip block
     if G > 1:
         feats = feats.reshape((nc, B_v) + feats.shape[1:])
@@ -150,7 +152,7 @@ def mil_forward(params: Params, cfg: ModelConfig, ts: TaskSettings,
     out = clipbert.clipbert_forward(
         params, cfg, {"text_input_ids": ids, "text_input_mask": mask},
         ts.head_type, train=train, rngs=rngs, compute_dtype=compute_dtype,
-        visual_features=feats, group_size=1, remat=ts.remat and train,
+        visual_features=feats, group_size=1, remat=(ts.remat if train else False),
         fused_attn=fused_attn)
     logits = out["logits"]  # (nc*B_t, L_head)
 
@@ -244,7 +246,7 @@ def pretrain_loss(cfg: ModelConfig, ts: TaskSettings,
     out = clipbert.clipbert_forward(
         params, cfg, batch, "pretrain", train=train, rngs=rngs,
         compute_dtype=compute_dtype, group_size=ts.group_size,
-        remat=ts.remat and train)
+        remat=(ts.remat if train else False))
     losses = clipbert.pretrain_losses(
         cfg, out,
         batch.get("mlm_labels") if ts.use_mlm else None,
@@ -407,6 +409,36 @@ def make_pretrain_eval_step(cfg: ModelConfig, ts: TaskSettings,
 # retrieval eval: visual features cached once per clip, reused across texts
 # ---------------------------------------------------------------------------
 
+# The inference step factories below are MEMOIZED on their static
+# configuration: every `jax.jit` object has its own trace/executable cache,
+# so a fresh object per call re-traces the program — and the eval scoring
+# programs unroll all 12 BERT layers (a multi-second host-side trace on
+# small hosts) and recompile server-side on remote platforms. Before this,
+# each `inference_retrieval`/validate call paid the full trace again and the
+# measured decode-inclusive e2e sat ~12x below its slowest pipeline stage
+# (BENCH_r03: 14.3 clips/s vs decode 224). Keyed by every static the closure
+# captures; the values are plain jitted callables (thread-safe to execute —
+# the lock only guards double-builds under serving concurrency).
+_STEP_CACHE: Dict[Any, Callable] = {}
+# RLock: builds nest (make_text_prob_step's build calls
+# make_text_score_step, which re-enters _memo_step on the same thread)
+_STEP_CACHE_LOCK = threading.RLock()
+
+
+def _memo_step(key, build: Callable[[], Callable]) -> Callable:
+    fn = _STEP_CACHE.get(key)
+    if fn is None:
+        with _STEP_CACHE_LOCK:
+            fn = _STEP_CACHE.get(key)
+            if fn is None:
+                _STEP_CACHE[key] = fn = build()
+    return fn
+
+
+def _cfg_key(cfg: Optional[ModelConfig]):
+    return None if cfg is None else dataclasses.astuple(cfg)
+
+
 def make_visual_encode_step(compute_dtype=jnp.bfloat16) -> Callable:
     """(params, pixels (B, T, H, W, 3)) -> grid features.
 
@@ -415,33 +447,45 @@ def make_visual_encode_step(compute_dtype=jnp.bfloat16) -> Callable:
     reusing them across all captions removes that entire recompute.
     """
 
-    def step(params, pixels):
-        return clipbert.cnn_forward(params["cnn"], pixels, compute_dtype)
+    def build():
+        def step(params, pixels):
+            return clipbert.cnn_forward(params["cnn"], pixels, compute_dtype)
 
-    return jax.jit(step)
+        return jax.jit(step)
+
+    return _memo_step(("visual_encode", jnp.dtype(compute_dtype).name), build)
 
 
-def fused_attn_default(mesh: Optional[Mesh] = None) -> bool:
-    """Whether inference scoring programs take the Pallas fused-attention
-    core (ops/pallas_attention.py). Measured on the real chip at the
-    retrieval scoring shape (scripts/perf_attn_ab.py, B=8192 seq=69): the
-    12-layer encoder goes 58.3 -> 71.8 TF/s (+23%) because the fp32
-    (B, H, S, S) score tensor stays in VMEM instead of round-tripping HBM.
+def fused_attn_default(mesh: Optional[Mesh] = None, num_heads: int = 12):
+    """How inference scoring programs run the attention core: False (XLA
+    einsum), True (Pallas fused kernel, ops/pallas_attention.py), or a
+    tensor-parallel Mesh (fused kernel shard_mapped over the head axis).
+    Measured on the real chip at the retrieval scoring shape
+    (scripts/perf_attn_ab.py, B=8192 seq=69): the 12-layer encoder goes
+    58.3 -> 71.8 TF/s (+23%) because the fp32 (B, H, S, S) score tensor
+    stays in VMEM instead of round-tripping HBM.
 
     Mosaic kernels are not partitioned by GSPMD, so: auto-on when this
-    process drives ONE device (the bench/serving topology), and on
-    multi-device hosts only when the caller passes a data-parallel `mesh`
-    — the scoring step then runs under shard_map (make_text_score_step),
-    which executes the kernel per-device. A tensor-parallel mesh
-    (model axis > 1) keeps the einsum path: TP shards the attention heads,
-    which the batch-blocked kernel does not. The backend test is != "cpu"
+    process drives ONE device (the bench/serving topology); on
+    multi-device hosts with a data-parallel `mesh` the whole scoring step
+    runs under shard_map (make_text_score_step), which executes the kernel
+    per-device; on a tensor-parallel mesh (model axis > 1, Megatron head
+    split) the return value is the MESH itself and only the attention core
+    is shard_mapped over (batch, heads) inside the GSPMD program
+    (ops/attention.py, fused_attention_shard_heads) — params stay
+    TP-sharded, zero extra collectives. The backend test is != "cpu"
     (the dev tunnel reports platform "axon"), matching
     compile_cache/pallas interpret gating."""
     if jax.default_backend() == "cpu":
         return False
     if jax.local_device_count() == 1:
         return True
-    return mesh is not None and mesh.shape[MODEL_AXIS] == 1
+    if mesh is None:
+        return False
+    if mesh.shape[MODEL_AXIS] == 1:
+        return True
+    # TP: heads must divide across the model axis for the shard_map
+    return mesh if num_heads % mesh.shape[MODEL_AXIS] == 0 else False
 
 
 def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
@@ -461,8 +505,19 @@ def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
     a pallas_call. The caption minibatch must divide by the mesh `data`
     size (inference_retrieval already rounds it up). The einsum path needs
     no wrapper: its batch inputs shard under plain GSPMD."""
-    fused = fused_attn_default(mesh) if fused_attn is None else fused_attn
+    fused = (fused_attn_default(mesh, cfg.num_attention_heads)
+             if fused_attn is None else fused_attn)
 
+    def build():
+        return _build_text_score_step(cfg, ts, compute_dtype, fused, mesh)
+
+    return _memo_step(("text_score", _cfg_key(cfg), ts,
+                       jnp.dtype(compute_dtype).name, fused, mesh), build)
+
+
+def _build_text_score_step(cfg: ModelConfig, ts: TaskSettings,
+                           compute_dtype, fused: bool,
+                           mesh: Optional[Mesh]) -> Callable:
     def step(params, feats, ids, mask):
         B_v, nc = feats.shape[:2]
         B_t = ids.shape[0]
@@ -481,7 +536,7 @@ def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
             unroll=True, fused_attn=fused)
         return out["logits"].reshape(B_v, nc, B_t, -1).transpose(0, 2, 1, 3)
 
-    if fused and mesh is not None and mesh.shape[DATA_AXIS] > 1:
+    if fused is True and mesh is not None and mesh.shape[DATA_AXIS] > 1:
         # check_vma needs varying-mesh-axes annotations pallas_call's
         # out_shape doesn't carry; the specs here are total (every input
         # and the output fully described), so the check adds nothing
@@ -504,19 +559,25 @@ def make_text_prob_step(cfg: ModelConfig, ts: TaskSettings,
     scoring loop. `mesh` enables the fused-attention core on multi-device
     hosts (see make_text_score_step)."""
 
-    score = make_text_score_step(cfg, ts, compute_dtype, fused_attn, mesh)
+    def build():
+        score = make_text_score_step(cfg, ts, compute_dtype, fused_attn,
+                                     mesh)
 
-    def step(params, feats, ids, mask):
-        clip_logits = score(params, feats, ids, mask)   # (B_v, B_t, nc, L)
-        B_v, B_t = clip_logits.shape[:2]
-        pooled = pool_clip_logits(
-            clip_logits.reshape((-1,) + clip_logits.shape[2:]),
-            ts.score_agg_func).astype(jnp.float32).reshape(B_v, B_t, -1)
-        if ts.loss_type == "ce":
-            return jax.nn.softmax(pooled, axis=-1)[..., 1]
-        return jax.nn.sigmoid(pooled[..., 0])
+        def step(params, feats, ids, mask):
+            clip_logits = score(params, feats, ids, mask)  # (B_v, B_t, nc, L)
+            B_v, B_t = clip_logits.shape[:2]
+            pooled = pool_clip_logits(
+                clip_logits.reshape((-1,) + clip_logits.shape[2:]),
+                ts.score_agg_func).astype(jnp.float32).reshape(B_v, B_t, -1)
+            if ts.loss_type == "ce":
+                return jax.nn.softmax(pooled, axis=-1)[..., 1]
+            return jax.nn.sigmoid(pooled[..., 0])
 
-    return jax.jit(step)
+        return jax.jit(step)
+
+    return _memo_step(("text_prob", _cfg_key(cfg), ts,
+                       jnp.dtype(compute_dtype).name, fused_attn, mesh),
+                      build)
 
 
 def make_videoqa_prob_step(cfg: ModelConfig, ts: TaskSettings,
@@ -534,17 +595,21 @@ def make_videoqa_prob_step(cfg: ModelConfig, ts: TaskSettings,
        each question's option block -> (n_q, num_labels).
     """
 
-    score = make_text_score_step(cfg, ts, compute_dtype, fused_attn)
+    def build():
+        score = make_text_score_step(cfg, ts, compute_dtype, fused_attn)
 
-    def step(params, feats, ids, mask):
-        clip_logits = score(params, feats, ids, mask)[0]    # (B_t, nc, L)
-        pooled = pool_clip_logits(
-            clip_logits, ts.score_agg_func).astype(jnp.float32)
-        if ts.head_type == "multi_choice":
-            pooled = pooled.reshape(-1, ts.num_labels)      # (n_q, options)
-        return jax.nn.softmax(pooled, axis=-1)
+        def step(params, feats, ids, mask):
+            clip_logits = score(params, feats, ids, mask)[0]  # (B_t, nc, L)
+            pooled = pool_clip_logits(
+                clip_logits, ts.score_agg_func).astype(jnp.float32)
+            if ts.head_type == "multi_choice":
+                pooled = pooled.reshape(-1, ts.num_labels)    # (n_q, options)
+            return jax.nn.softmax(pooled, axis=-1)
 
-    return jax.jit(step)
+        return jax.jit(step)
+
+    return _memo_step(("videoqa_prob", _cfg_key(cfg), ts,
+                       jnp.dtype(compute_dtype).name, fused_attn), build)
 
 
 def make_qa_answer_step(cfg: ModelConfig, ts: TaskSettings,
@@ -560,15 +625,20 @@ def make_qa_answer_step(cfg: ModelConfig, ts: TaskSettings,
     (bert.encoder docstring, fused_attn_default)."""
     fused = fused_attn_default() if fused_attn is None else fused_attn
 
-    def step(params, feats, ids, mask):
-        out = clipbert.clipbert_forward(
-            params, cfg, {"text_input_ids": ids, "text_input_mask": mask},
-            "seq_cls", train=False, compute_dtype=compute_dtype,
-            visual_features=feats, group_size=ids.shape[0], unroll=True,
-            fused_attn=fused)
-        logits = out["logits"].astype(jnp.float32)
-        if ts.loss_type == "bce":
-            return jax.nn.sigmoid(logits)
-        return jax.nn.softmax(logits, axis=-1)
+    def build():
+        def step(params, feats, ids, mask):
+            out = clipbert.clipbert_forward(
+                params, cfg, {"text_input_ids": ids,
+                              "text_input_mask": mask},
+                "seq_cls", train=False, compute_dtype=compute_dtype,
+                visual_features=feats, group_size=ids.shape[0], unroll=True,
+                fused_attn=fused)
+            logits = out["logits"].astype(jnp.float32)
+            if ts.loss_type == "bce":
+                return jax.nn.sigmoid(logits)
+            return jax.nn.softmax(logits, axis=-1)
 
-    return jax.jit(step)
+        return jax.jit(step)
+
+    return _memo_step(("qa_answer", _cfg_key(cfg), ts,
+                       jnp.dtype(compute_dtype).name, fused), build)
