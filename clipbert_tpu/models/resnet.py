@@ -253,7 +253,7 @@ def resnet50_forward(p: Params, x: jnp.ndarray,
                      stride_in_1x1: bool = True,
                      stem_s2d: bool = False,
                      use_pallas: bool = False,
-                     remat: bool = False) -> jnp.ndarray:
+                     remat=False) -> jnp.ndarray:
     """(B, H, W, 3) preprocessed pixels -> (B, H/32, W/32, 2048) res5 features.
 
     Equivalent of the reference's `backbone(x)` +
@@ -262,13 +262,24 @@ def resnet50_forward(p: Params, x: jnp.ndarray,
     stem to the mathematically-identical space-to-depth form (even input
     sizes only); params are shared between both paths.
 
-    ``remat`` wraps the stem and each residual stage in `jax.checkpoint`
-    so the backward pass recomputes intra-stage activations instead of
-    storing them — the early-stage tensors (e.g. 112^2 x 256 per frame)
-    dominate train-step HBM and cap the per-chip batch otherwise
-    (the apex-amp reference has no equivalent; this is the TPU-native
-    memory/FLOPs dial).
+    ``remat`` trades backward-pass HBM for recompute FLOPs — the
+    early-stage activations (e.g. 112^2 x 256 per frame) dominate
+    train-step HBM and cap the per-chip batch otherwise (the apex-amp
+    reference has no equivalent; this is the TPU-native memory/FLOPs
+    dial). Granularities (A/B'd at the train shape in
+    scripts/perf_conv_bwd_ab.py):
+
+      False         — store everything (largest HBM, zero recompute)
+      True / "stage"— `jax.checkpoint` around the stem and each residual
+                      stage (the default production setting)
+      "block"       — per-bottleneck checkpoints: stores every block
+                      boundary, recomputes only intra-block tensors
+      "early"       — checkpoint only stem+res2+res3 (the big activations);
+                      res4/res5 store theirs (small at 1/16, 1/32 scale)
+                      and skip the recompute entirely
     """
+    assert remat in (False, True, "stage", "block", "early"), remat
+
     def stem_fn(sp, x):
         if stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             h = conv2d(space_to_depth(x), stem_s2d_kernel(sp["conv"]["kernel"]),
@@ -284,15 +295,23 @@ def resnet50_forward(p: Params, x: jnp.ndarray,
     h = stem_fn(p["stem"], x)
     for si in range(4):
         stage_stride = 1 if si == 0 else 2
+        def block_fn(h, bp, s):
+            if remat != "block":
+                return bottleneck(h, bp, s, stride_in_1x1=stride_in_1x1,
+                                  use_pallas=use_pallas)
+            return jax.checkpoint(
+                lambda h, bp: bottleneck(h, bp, s,
+                                         stride_in_1x1=stride_in_1x1,
+                                         use_pallas=use_pallas))(h, bp)
 
-        def stage_fn(blocks, h, _ss=stage_stride):
+        def stage_fn(blocks, h, _ss=stage_stride, _bf=block_fn):
             for bi, bp in enumerate(blocks):
-                h = bottleneck(h, bp, _ss if bi == 0 else 1,
-                               stride_in_1x1=stride_in_1x1,
-                               use_pallas=use_pallas)
+                h = _bf(h, bp, _ss if bi == 0 else 1)
             return h
 
-        if remat:
+        stage_remat = (remat in (True, "stage")
+                       or (remat == "early" and si < 2))
+        if stage_remat:
             stage_fn = jax.checkpoint(stage_fn)
         h = stage_fn(p[f"res{si + 2}"], h)
     return h

@@ -233,8 +233,115 @@ def bench_components(cfg, ts, oc, ss, meta_for, batch_videos: int):
     return out
 
 
+def bench_train_data_plane(cfg, ts, oc, ss, meta_for, batch_videos: int,
+                           device_clips_per_sec: float, n_steps: int = 6):
+    """Decode-inclusive TRAIN throughput through the PRODUCTION input path:
+    packed store -> native C++ decode in worker threads -> PrefetchLoader
+    (in-thread device_put + jitted device resize/pad/normalize one batch
+    ahead) -> jitted train step (the input side of the reference hot loop,
+    run_pretrain.py:384-476). The trainer's deferred-fetch discipline is
+    mirrored: the host never blocks on per-step metrics; ONE final loss
+    fetch forces the whole donated-state chain (the only honest multi-step
+    clock on the remote platform). Reports e2e clips/s and the overlap
+    efficiency vs the device-only rate measured at the same configuration.
+    """
+    import tempfile
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_dataplane import make_store
+
+    from clipbert_tpu.core.config import RunConfig
+    from clipbert_tpu.core.mesh import make_mesh, replicate_tree
+    from clipbert_tpu.data import tokenization
+    from clipbert_tpu.data.datasets import (RetrievalCollator,
+                                            VideoRetrievalTrainDataset,
+                                            group_datalist_by_visual)
+    from clipbert_tpu.data.store import open_store
+    from clipbert_tpu.data.transforms import mk_input_group
+    from clipbert_tpu.tasks import common
+    from clipbert_tpu.train import trainer as trainer_mod
+
+    n_videos = batch_videos * (n_steps + 3)
+    tmp = tempfile.mkdtemp(prefix="bench_train_plane_")
+    store_path = os.path.join(tmp, "videos.cbpk")
+    make_store(store_path, n_videos)                 # MSRVTT-shaped 320x240
+    vpath = os.path.join(tmp, "vocab.txt")
+    tokenization.write_tiny_vocab(
+        vpath, extra_tokens=["a", "person", "does", "thing"]
+        + [str(i) for i in range(10)])
+    tok = tokenization.BertTokenizer(vpath)
+    raw = [{"id": i, "txt": f"a person does thing {i}", "vid_id": f"vid{i}"}
+           for i in range(n_videos)]
+    groups = mk_input_group(group_datalist_by_visual(raw, "vid_id"),
+                            max_n_example_per_group=1, is_train=True)
+    ds = VideoRetrievalTrainDataset(
+        groups, tok, open_store(store_path), fps=1, num_frm=NUM_FRM,
+        frm_sampling_strategy="rand", max_img_size=IMG, max_txt_len=TXT_LEN,
+        itm_neg_size=GROUP - 1, ensemble_n_clips=N_CLIPS,
+        random_sample_clips=True, seed=0, device_preprocess=True)
+
+    rcfg = RunConfig(train_batch_size=batch_videos, seed=0,
+                     max_img_size=IMG, max_txt_len=TXT_LEN,
+                     n_workers=max(4, os.cpu_count() or 1))
+    mesh = make_mesh()
+    loader_it, _ = common.build_train_loader(
+        ds, RetrievalCollator(tok, TXT_LEN), rcfg, mesh)
+    spec = trainer_mod.TaskSpec(
+        name="bench", head_type="retrieval", settings=ts,
+        train_loader=loader_it, steps_per_epoch=1, max_img_size=IMG)
+
+    params = clipbert.init_clipbert(jax.random.key(0), cfg, "retrieval")
+    meta = meta_for(params)
+    step_fn = steps.make_train_step(cfg, ts, oc, ss, meta, mesh=mesh,
+                                    compute_dtype=jnp.bfloat16)
+    state = replicate_tree(mesh, steps.init_train_state(params))
+    key = jax.random.key(1)
+
+    it = iter(loader_it)
+    for i in range(2):                               # compile + warm threads
+        batch = trainer_mod._to_device_batch(next(it), mesh, spec,
+                                             jnp.bfloat16)
+        state, metrics = step_fn(state, batch, jax.random.fold_in(key, i))
+    assert np.isfinite(float(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        batch = trainer_mod._to_device_batch(next(it), mesh, spec,
+                                             jnp.bfloat16)
+        state, metrics = step_fn(state, batch,
+                                 jax.random.fold_in(key, 100 + i))
+    final = float(metrics["loss"])                   # forces the whole chain
+    wall = time.perf_counter() - t0
+    assert np.isfinite(final)
+
+    # host-decode-only rate at the train shape (dataset assembly, no device)
+    t0 = time.perf_counter()
+    for i in range(batch_videos):
+        ds[i]
+    decode_rate = batch_videos * N_CLIPS / (time.perf_counter() - t0)
+
+    e2e = n_steps * batch_videos * N_CLIPS / wall
+    return {
+        "mode": "train_data_plane",
+        "batch_videos": batch_videos,
+        "remat": ts.remat,
+        "e2e_train_clips_per_sec": round(e2e, 1),
+        "device_train_clips_per_sec": round(device_clips_per_sec, 1),
+        "overlap_efficiency": round(e2e / device_clips_per_sec, 3),
+        "decode_clips_per_sec": round(decode_rate, 1),
+        "host_cores": os.cpu_count(),
+    }
+
+
 def main():
     compile_cache.enable()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_plane", action="store_true",
+                    help="also run the decode-inclusive train benchmark "
+                         "(real store -> decode -> prefetch -> step)")
+    ap.add_argument("--data_plane_only", action="store_true")
+    args = ap.parse_args()
+
     cfg = ModelConfig(num_labels=2, loss_type="ce", score_agg_func="lse")
     oc = optim.OptimConfig()
     ss = steps.ScheduleSettings(num_train_steps=10000)
@@ -248,17 +355,27 @@ def main():
             score_agg_func="lse", train_n_clips=N_CLIPS, group_size=GROUP,
             remat=remat)
 
-    for bv, remat in ((4, False), (8, True), (16, True)):
-        try:
-            print(json.dumps(
-                bench_step(cfg, ts(remat), oc, ss, meta_for, bv)),
-                flush=True)
-        except Exception as e:   # OOM documents itself
-            print(json.dumps({"batch_videos": bv, "remat": remat,
-                              "error": type(e).__name__}), flush=True)
+    if not args.data_plane_only:
+        for bv, remat in ((4, False), (8, True), (16, True)):
+            try:
+                print(json.dumps(
+                    bench_step(cfg, ts(remat), oc, ss, meta_for, bv)),
+                    flush=True)
+            except Exception as e:   # OOM documents itself
+                print(json.dumps({"batch_videos": bv, "remat": remat,
+                                  "error": type(e).__name__}), flush=True)
 
-    print(json.dumps({"components": bench_components(
-        cfg, ts(False), oc, ss, meta_for, 4)}), flush=True)
+        print(json.dumps({"components": bench_components(
+            cfg, ts(False), oc, ss, meta_for, 4)}), flush=True)
+
+    if args.data_plane or args.data_plane_only:
+        # device-only rate at the SAME configuration for the overlap ratio
+        jax.clear_caches()
+        dev = bench_step(cfg, ts(True), oc, ss, meta_for, 8)
+        jax.clear_caches()
+        print(json.dumps(bench_train_data_plane(
+            cfg, ts(True), oc, ss, meta_for, batch_videos=8,
+            device_clips_per_sec=dev["clips_per_sec"])), flush=True)
 
 
 if __name__ == "__main__":

@@ -261,9 +261,12 @@ def test_remat_forward_and_grad_match(rng_np):
         return resnet.resnet50_forward(params, x, remat=remat).sum()
 
     f0 = loss(p, x, False)
-    f1 = loss(p, x, True)
-    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-6)
     g0 = jax.grad(loss, argnums=1)(p, x, False)
-    g1 = jax.grad(loss, argnums=1)(p, x, True)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
-                               rtol=1e-4, atol=1e-5)
+    # every remat granularity (scripts/perf_conv_bwd_ab.py A/Bs their perf;
+    # this pins that the knob stays numerics-free)
+    for mode in (True, "stage", "block", "early"):
+        f1 = loss(p, x, mode)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), rtol=1e-6)
+        g1 = jax.grad(loss, argnums=1)(p, x, mode)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-4, atol=1e-5)
