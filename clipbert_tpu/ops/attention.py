@@ -28,13 +28,18 @@ def multi_head_attention(
     mask_bias: Optional[jnp.ndarray] = None,  # (B, 1, 1, L) or (B,1,L,L) additive
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
-    fused: bool = False,
+    fused=False,
 ) -> jnp.ndarray:
     """``fused=True`` routes the core (QK^T -> softmax -> PV) through the
     Pallas VMEM-resident kernel (ops/pallas_attention.py) — same fp32
     softmax math, no HBM round-trip for the score tensor. Only taken for
     dropout-free (inference) calls with the standard per-key mask; other
-    configurations keep the einsum path."""
+    configurations keep the einsum path.
+
+    ``fused=<Mesh>`` (a tensor-parallel mesh, model axis > 1) takes the
+    same kernel via a shard_map over (batch, HEADS) so each device runs it
+    on its Megatron head shard — GSPMD cannot partition a pallas_call
+    directly (steps.fused_attn_default picks this mode)."""
     B, L, D = hidden.shape
     head_dim = D // num_heads
 
@@ -52,14 +57,20 @@ def multi_head_attention(
     q, k, v = (t.reshape(B, L, num_heads, head_dim)
                for t in jnp.split(qkv, 3, axis=-1))
 
-    use_fused = (fused
+    use_fused = (fused is not False
                  and (dropout_rate == 0.0 or dropout_key is None)
                  and mask_bias is not None
                  and mask_bias.shape == (B, 1, 1, L))
     if use_fused:
-        from clipbert_tpu.ops.pallas_attention import fused_attention
-        ctx = fused_attention(q, k, v, mask_bias[:, 0, 0, :],
-                              float(1.0 / head_dim ** 0.5))
+        from clipbert_tpu.ops.pallas_attention import (
+            fused_attention, fused_attention_shard_heads)
+        scale = float(1.0 / head_dim ** 0.5)
+        key_bias = mask_bias[:, 0, 0, :]
+        if fused is True:
+            ctx = fused_attention(q, k, v, key_bias, scale)
+        else:                       # tensor-parallel mesh: shard the heads
+            ctx = fused_attention_shard_heads(q, k, v, key_bias, scale,
+                                              mesh=fused)
         return ctx.reshape(B, L, D)
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,

@@ -127,3 +127,36 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         **params,
     )(q, k, v, key_bias.astype(jnp.float32))
     return out.transpose(0, 2, 1, 3)[:B]
+
+
+def fused_attention_shard_heads(q: jnp.ndarray, k: jnp.ndarray,
+                                v: jnp.ndarray, key_bias: jnp.ndarray,
+                                scale: float, mesh) -> jnp.ndarray:
+    """The fused kernel on a TENSOR-PARALLEL mesh: shard_map over
+    (data: batch, model: HEADS).
+
+    Under the Megatron param split (parallel/sharding.py) q/k/v arrive
+    head-sharded on the mesh `model` axis; GSPMD cannot partition a
+    pallas_call, so this wraps ONLY the attention core in a shard_map whose
+    specs match the surrounding GSPMD layout — each device runs the kernel
+    on its (batch shard x head shard), zero collectives (attention is
+    embarrassingly parallel over heads; the Megatron all-reduce stays where
+    GSPMD puts it, after the row-parallel output matmul). Lifts the TP
+    exclusion that kept einsum attention on model-parallel meshes
+    (steps.fused_attn_default, VERDICT r3 #8).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from clipbert_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+    B, S, H, dh = q.shape
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+    assert B % n_data == 0, (B, n_data)
+    assert H % n_model == 0, (H, n_model)
+    spec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    fn = jax.shard_map(
+        functools.partial(fused_attention, scale=scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(DATA_AXIS, None)),
+        out_specs=spec, check_vma=False)
+    return fn(q, k, v, key_bias)

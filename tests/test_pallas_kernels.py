@@ -213,3 +213,72 @@ def test_fused_attention_sharded_scoring_program(rng_np):
     assert got.shape == (2, 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_attention_tp_head_sharded(rng_np):
+    """make_text_prob_step on a TENSOR-PARALLEL mesh (model axis > 1,
+    Megatron param split) with the fused kernel: fused_attn_default returns
+    the mesh and ops/attention.py routes the core through
+    fused_attention_shard_heads — shard_map over (batch, HEADS) inside the
+    GSPMD program. Must equal the einsum TP program AND the single-device
+    reference (VERDICT r3 #8)."""
+    import jax
+    import jax.numpy as jnp
+    from clipbert_tpu.core.config import ModelConfig
+    from clipbert_tpu.core.mesh import MODEL_AXIS, data_shard, make_mesh
+    from clipbert_tpu.models import clipbert
+    from clipbert_tpu.parallel.sharding import param_shardings
+    from clipbert_tpu.train import steps
+
+    mesh = make_mesh(model_parallel=2)
+    assert mesh.shape[MODEL_AXIS] == 2
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, intermediate_size=64,
+                      max_grid_row_position_embeddings=8,
+                      max_grid_col_position_embeddings=8, num_labels=2)
+    ts = steps.TaskSettings(head_type="retrieval", num_labels=2,
+                            loss_type="ce", score_agg_func="lse",
+                            train_n_clips=2, group_size=1)
+    params = clipbert.init_clipbert(jax.random.key(1), cfg, "retrieval")
+    feats = jnp.asarray(rng_np.standard_normal((2, 2, 1, 3, 3, 32)) * 0.1,
+                        jnp.float32)
+    ids_np = rng_np.integers(0, 64, (8, 7)).astype(np.int32)
+    mask_np = np.ones((8, 7), np.int32)
+    mask_np[:, 5:] = 0
+
+    tp_params = jax.device_put(params, param_shardings(
+        params, mesh, tensor_parallel=True))
+    ids = jax.device_put(ids_np, data_shard(mesh))
+    mask = jax.device_put(mask_np, data_shard(mesh))
+
+    ref = steps.make_text_prob_step(cfg, ts, jnp.float32, fused_attn=False)(
+        params, feats, jnp.asarray(ids_np), jnp.asarray(mask_np))
+    tp_einsum = steps.make_text_prob_step(
+        cfg, ts, jnp.float32, fused_attn=False, mesh=mesh)(
+        tp_params, feats, ids, mask)
+    tp_fused = steps.make_text_prob_step(
+        cfg, ts, jnp.float32, fused_attn=mesh, mesh=mesh)(
+        tp_params, feats, ids, mask)
+    assert tp_fused.shape == (2, 8)
+    np.testing.assert_allclose(np.asarray(tp_einsum), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tp_fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_attn_default_tp_selector(monkeypatch):
+    """Mode selection on a non-cpu backend: DP mesh -> True (whole-step
+    shard_map), TP mesh with head-divisible model axis -> the mesh itself
+    (head-sharded kernel), indivisible heads -> False (einsum)."""
+    import jax
+    from clipbert_tpu.core.mesh import make_mesh
+    from clipbert_tpu.train import steps
+
+    mesh_dp = make_mesh()
+    mesh_tp = make_mesh(model_parallel=2)
+    monkeypatch.setattr(steps.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(steps.jax, "local_device_count", lambda: 8)
+    assert steps.fused_attn_default(mesh_dp) is True
+    assert steps.fused_attn_default(mesh_tp, num_heads=12) is mesh_tp
+    assert steps.fused_attn_default(mesh_tp, num_heads=5) is False
+    assert steps.fused_attn_default(None) is False
