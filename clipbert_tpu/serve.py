@@ -19,6 +19,17 @@ TPU-first:
    server; the class is thread-safe for readers (params are never
    mutated).
 
+Thread-safety under ``ThreadingHTTPServer`` concurrency (exercised by
+tests/test_serve.py::test_concurrent_requests_across_endpoints): scorer
+state after __init__ is read-only (params are device arrays, never
+mutated; the tokenizer holds only read-only dicts). The compiled-program
+caches are (a) the steps._STEP_CACHE factory memo, guarded by a lock, and
+(b) ``transforms._preprocess_jit``'s lru_cache plus each ``jax.jit``
+object's internal trace cache — both thread-safe in CPython/JAX, with the
+worst race being a redundant duplicate compile, never a wrong result.
+Concurrent execution of one compiled program is supported by JAX; the
+runtime serializes device execution per chip.
+
 Latency knobs that matter on real hosts: ``n_clips=1`` is the low-latency
 configuration (the reference's own recommendation for speed,
 README.md:109-124); decode runs on the host thread; the H2D transfer

@@ -419,6 +419,77 @@ def test_http_endpoint_round_trip(setup):
         server.shutdown()
 
 
+def test_concurrent_requests_across_endpoints(setup, vqa_setup,
+                                              videoqa_setup):
+    """ThreadingHTTPServer handles each POST on its own thread, so the
+    scorers' compiled-program caches see real concurrency (serve.py module
+    docstring documents why that is safe: read-only scorer state, locked
+    steps._STEP_CACHE, thread-safe jit caches). Fire 12 parallel POSTs
+    across /score, /vqa and /videoqa and assert every response is correct
+    (== the sequential baseline), not merely crash-free."""
+    import urllib.error
+    from concurrent.futures import ThreadPoolExecutor
+
+    sc, blob = setup["scorer"], setup["blob"]
+    vqa, img = vqa_setup["sc"], vqa_setup["img"]
+    oe = videoqa_setup["oe"]
+    caps = ["a cat runs", "the dog"]
+    qs = ["a cat"]
+    want_score = sc.score(blob, caps)
+    want_vqa = vqa.answer(img, qs, top_k=2)
+    want_videoqa = oe.answer(blob, qs, top_k=2)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    server = make_http_server(sc, "127.0.0.1", port, vqa=vqa, videoqa=oe)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    reqs = [("/score", {"video_b64": base64.b64encode(blob).decode(),
+                        "captions": caps}),
+            ("/vqa", {"image_b64": base64.b64encode(img).decode(),
+                      "questions": qs, "top_k": 2}),
+            ("/videoqa", {"video_b64": base64.b64encode(blob).decode(),
+                          "questions": qs, "top_k": 2}),
+            ("/score", {"video_b64": "!!", "captions": caps})] * 3
+
+    def post(args):
+        path, payload = args
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return path, payload, r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return path, payload, e.code, json.loads(e.read())
+
+    try:
+        with ThreadPoolExecutor(12) as pool:
+            results = list(pool.map(post, reqs))
+    finally:
+        server.shutdown()
+
+    assert len(results) == 12
+    for path, payload, code, body in results:
+        if payload.get("video_b64") == "!!":      # malformed mixed in
+            assert code == 400, (path, body)
+        elif path == "/score":
+            assert code == 200, body
+            np.testing.assert_allclose(body["probs"], want_score,
+                                       rtol=1e-5, atol=1e-6)
+        elif path == "/vqa":
+            assert code == 200, body
+            assert body["answers"][0][0]["answer"] == \
+                want_vqa[0][0]["answer"]
+        else:
+            assert code == 200, body
+            assert body["answers"][0][0]["answer"] == \
+                want_videoqa[0][0]["answer"]
+
+
 def test_http_error_codes_split_client_vs_server():
     """Payload/validation errors are 400; internal scorer failures are 5xx
     (load balancers must retry/eject, not blame the client) and must not
