@@ -154,8 +154,11 @@ class RunConfig:
 
     # training
     # rematerialize CNN stages + BERT scan body in the backward pass:
-    # ~1/3 more forward FLOPs for a large activation-memory cut, raising
-    # the per-chip batch ceiling (jax.checkpoint; no reference equivalent)
+    # more forward FLOPs for a large activation-memory cut, raising the
+    # per-chip batch ceiling (jax.checkpoint; no reference equivalent).
+    # True picks the measured-best "early" granularity (checkpoint only
+    # the big stem/res2/res3 activations); strings "stage"|"block"|"early"
+    # select explicitly (models/resnet.py::resnet50_forward docstring)
     remat: bool = False
     train_batch_size: int = 128
     val_batch_size: int = 128

@@ -266,17 +266,20 @@ def resnet50_forward(p: Params, x: jnp.ndarray,
     early-stage activations (e.g. 112^2 x 256 per frame) dominate
     train-step HBM and cap the per-chip batch otherwise (the apex-amp
     reference has no equivalent; this is the TPU-native memory/FLOPs
-    dial). Granularities (A/B'd at the train shape in
-    scripts/perf_conv_bwd_ab.py):
+    dial). Granularities, A/B'd at the train shape (448^2, 64 visuals x 2
+    frames, bf16) in scripts/perf_conv_bwd_ab.py — CNN fwd+bwd clips/s:
+    no-remat 348 (OOMs the full step at batch>=8), early 317, block 312,
+    stage 297; full-step winner is "early" (231.7 vs 221.0 clips/s at
+    batch 8, scripts/bench_train_step.py):
 
-      False         — store everything (largest HBM, zero recompute)
-      True / "stage"— `jax.checkpoint` around the stem and each residual
-                      stage (the default production setting)
-      "block"       — per-bottleneck checkpoints: stores every block
-                      boundary, recomputes only intra-block tensors
-      "early"       — checkpoint only stem+res2+res3 (the big activations);
-                      res4/res5 store theirs (small at 1/16, 1/32 scale)
-                      and skip the recompute entirely
+      False          — store everything (largest HBM, zero recompute)
+      True / "early" — (production default) checkpoint only stem+res2+res3,
+                       the big activations; res4/res5 store theirs (small
+                       at 1/16, 1/32 scale) and skip the recompute
+      "stage"        — `jax.checkpoint` around the stem and every residual
+                       stage (smallest HBM short of per-block)
+      "block"        — per-bottleneck checkpoints: stores every block
+                       boundary, recomputes only intra-block tensors
     """
     assert remat in (False, True, "stage", "block", "early"), remat
 
@@ -309,8 +312,8 @@ def resnet50_forward(p: Params, x: jnp.ndarray,
                 h = _bf(h, bp, _ss if bi == 0 else 1)
             return h
 
-        stage_remat = (remat in (True, "stage")
-                       or (remat == "early" and si < 2))
+        stage_remat = (remat == "stage"
+                       or (remat in (True, "early") and si < 2))
         if stage_remat:
             stage_fn = jax.checkpoint(stage_fn)
         h = stage_fn(p[f"res{si + 2}"], h)

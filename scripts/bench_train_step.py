@@ -356,7 +356,11 @@ def main():
             remat=remat)
 
     if not args.data_plane_only:
-        for bv, remat in ((4, False), (8, True), (16, True)):
+        # remat sweep follows scripts/perf_conv_bwd_ab.py: at the CNN level
+        # no-remat won +17% over per-stage, early +6.7% — measure what
+        # survives in the full step and where HBM forces remat back on
+        for bv, remat in ((4, False), (8, "stage"), (8, "early"),
+                          (8, False), (16, "early"), (16, False)):
             try:
                 print(json.dumps(
                     bench_step(cfg, ts(remat), oc, ss, meta_for, bv)),
