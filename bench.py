@@ -101,7 +101,7 @@ def measure(params, cfg, num_clips: int, batch_videos: int) -> float:
     return best
 
 
-def measure_data_plane(params, device_rate: float, n_videos: int = 24):
+def measure_data_plane(params, device_rate: float, n_videos: int = 48):
     """Decode-inclusive rates on REAL mp4 bytes (the north-star unit names
     decode→ResNet→BERT, BASELINE.json; reference decode path
     `/root/reference/src/datasets/decoder.py:203-283`):
