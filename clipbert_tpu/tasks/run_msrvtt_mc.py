@@ -39,11 +39,18 @@ def inference_mc(cfg: RunConfig, model_cfg, params,
     dl = common.build_eval_loader(ds, coll, cfg,
                                   batch_size=cfg.inference_batch_size)
     preds = {}
+    # deferred fetches: async D2H per batch, converted after the loop so
+    # decode/dispatch of batch i+1 overlaps batch i's compute (see
+    # run_video_retrieval.inference_retrieval)
+    pending = []
     for batch in dl:
         dev, host = common.device_batch(batch, mesh, cfg=cfg,
                                         compute_dtype=compute_dtype)
         out = eval_fn(params, dev)
-        logits = np.asarray(out["logits"])  # (B_v*5, num_labels)
+        out["logits"].copy_to_host_async()
+        pending.append((host, out["logits"]))
+    for host, logits_dev in pending:
+        logits = np.asarray(logits_dev)     # (B_v*5, num_labels)
         if cfg.loss_type == "ce":
             e = np.exp(logits - logits.max(-1, keepdims=True))
             prob = (e / e.sum(-1, keepdims=True))[:, 1]

@@ -86,13 +86,21 @@ def build_dataset(cfg: RunConfig, groups, tokenizer, store, ans2label,
 def build_validate(cfg: RunConfig, val_ds: VideoQADataset, val_loader, mesh,
                    compute_dtype):
     def validate(params, eval_fn) -> Dict:
-        results = []
+        # fetches are deferred: an async D2H copy starts per batch and the
+        # conversion runs after the loop, so the host keeps decoding and
+        # dispatching instead of blocking on each batch's logits
+        # (run_video_retrieval.inference_retrieval has the measured A/B)
+        pending = []
         for batch in val_loader:
             dev, host = common.device_batch(batch, mesh, cfg=cfg,
                                             compute_dtype=compute_dtype)
             out = eval_fn(params, dev)
-            preds = np.asarray(out["logits"]).argmax(-1)
-            for qid, p in zip(host["question_ids"], preds):
+            out["logits"].copy_to_host_async()
+            pending.append((host["question_ids"], out["logits"]))
+        results = []
+        for qids, logits in pending:
+            preds = np.asarray(logits).argmax(-1)
+            for qid, p in zip(qids, preds):
                 results.append({"question_id": qid, "answer": int(p)})
         gathered = [r for rank in dist.all_gather_objects(results)
                     for r in rank]

@@ -55,14 +55,20 @@ def make_task_settings(cfg: RunConfig, is_train: bool = True
 def build_validate(cfg: RunConfig, val_ds: VQADataset, val_loader, mesh,
                    compute_dtype):
     def validate(params, eval_fn) -> Dict:
-        results = []
+        # deferred fetches (async D2H per batch, one conversion pass after
+        # the loop) keep the host decoding/dispatching instead of blocking
+        # per batch — see run_video_retrieval.inference_retrieval
+        pending = []
         for batch in val_loader:
             dev, host = common.device_batch(batch, mesh, cfg=cfg,
                                             compute_dtype=compute_dtype)
             out = eval_fn(params, dev)
-            logits = np.asarray(out["logits"])
-            preds = logits.argmax(-1)
-            for qid, p in zip(host["question_ids"], preds):
+            out["logits"].copy_to_host_async()
+            pending.append((host["question_ids"], out["logits"]))
+        results = []
+        for qids, logits_dev in pending:
+            preds = np.asarray(logits_dev).argmax(-1)
+            for qid, p in zip(qids, preds):
                 results.append({"question_id": qid,
                                 "answer": val_ds.label2ans[int(p)]})
         gathered = [r for rank in dist.all_gather_objects(results)
