@@ -191,7 +191,17 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
                 src_hw = jax.device_put(src_hw, vis_sh)
             return group, vis, src_hw
 
-        with ThreadPoolExecutor(max(2, cfg.n_workers)) as pool:
+        # Decode concurrency is clamped to the physical cores: decode is
+        # CPU-bound (the native decoder releases the GIL), so threads beyond
+        # cores add no aggregate throughput — but under fair scheduling they
+        # multiply the FIRST group's completion time by the thread count,
+        # and the device cannot start scoring until group 0 lands. Measured
+        # on the 1-core bench host: 4 threads held the device idle for the
+        # first ~70% of total decode (e2e 59.4 clips/s); 1 ordered thread
+        # delivers group 0 after ~1/n_groups of it, overlapping the rest of
+        # the decode with scoring.
+        n_threads = max(1, min(cfg.n_workers, os.cpu_count() or 1))
+        with ThreadPoolExecutor(n_threads) as pool:
             yield from pool.map(load, groups)
 
     st = {"setup_s": _time.perf_counter() - t_setup, "data_wait_s": 0.0,
