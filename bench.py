@@ -122,9 +122,10 @@ def measure_data_plane(params, device_rate: float, n_videos: int = 48):
                              program and the 14.3 clips/s got labeled
                              h2d-transfer)
 
-    On the tunneled dev box the binding constraint is H2D (~30 MB/s
-    measured); production TPU hosts are PCIe-class, where decode cores per
-    chip bound instead (PARITY.md "Data plane").
+    On the 1-core dev box the binding constraint is host decode (the
+    tunnel's H2D bandwidth drifts 30-1500 MB/s day to day and is measured
+    live, never assumed); production TPU hosts bound on decode cores per
+    chip (PARITY.md "Data plane").
     """
     import os
     import sys
@@ -176,7 +177,11 @@ def measure_data_plane(params, device_rate: float, n_videos: int = 48):
 
     rcfg = RunConfig(loss_type="ce", num_labels=2, inference_n_clips=16,
                      num_frm=NUM_FRM, max_img_size=IMG, max_txt_len=TXT_LEN,
-                     score_agg_func="lse", inference_batch_size=8,
+                     # one caption dispatch per video group (48 caps fold
+                     # into a single 6144-seq scoring program): A/B'd on-chip
+                     # vs minibatch 8 — 99.4 vs 89.1 clips/s e2e, and the
+                     # in-loop dispatch overhead collapses 1.06 s -> 0.008 s
+                     score_agg_func="lse", inference_batch_size=48,
                      inference_video_batch_size=8,
                      n_workers=max(4, os.cpu_count() or 1), fps=1)
     model_cfg = ModelConfig(num_labels=2, loss_type="ce",
