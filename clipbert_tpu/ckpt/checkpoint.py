@@ -80,15 +80,82 @@ def unflatten_tree(flat: Dict[str, np.ndarray]):
 # low-level save / load
 # ---------------------------------------------------------------------------
 
-def save_tree(path: str, tree) -> None:
+def fetch_tree_host(tree) -> Dict[str, np.ndarray]:
+    """Flatten + bring every leaf to host memory (the D2H fetch).
+
+    This is the only part of a save that must stay synchronous with the
+    train loop: after it returns, the checkpoint no longer references
+    device buffers, so the next jitted step is free to donate them.
+    Host-numpy leaves are snapshotted too (np.asarray would alias them,
+    and a caller mutating its tree must not corrupt a pending write).
+    """
+    out = {}
+    for k, v in flatten_tree(tree).items():
+        a = np.asarray(v)
+        out[k] = a.copy() if a is v else a
+    return out
+
+
+def _write_npz(path: str, host_flat: Dict[str, np.ndarray]) -> None:
     """Atomic: write tmp then rename."""
-    flat = flatten_tree(tree)
-    host = {k: np.asarray(v) for k, v in flat.items()}
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(tmp, "wb") as f:
-        np.savez(f, **host)
+        np.savez(f, **host_flat)
     os.replace(tmp, path)
+
+
+def save_tree(path: str, tree) -> None:
+    """Atomic: write tmp then rename."""
+    _write_npz(path, fetch_tree_host(tree))
+
+
+# ---------------------------------------------------------------------------
+# async writer
+# ---------------------------------------------------------------------------
+#
+# The reference blocks its train loop for the full state_dict fetch +
+# torch.save on every checkpoint (load_save.py:260,291-299). Here only the
+# D2H fetch stays on the loop (donation safety, fetch_tree_host); the
+# serialization + disk write run on ONE background thread shared by all
+# savers — a single thread keeps writes (and the restore-bundle rotation)
+# in submission order, so restore.npz/restore_backup.npz can never
+# interleave out of order. Write errors are re-raised on the next
+# save/drain rather than lost. ThreadPoolExecutor threads are joined at
+# interpreter exit, so even an unexpected exit finishes in-flight writes;
+# trainers drain explicitly at step-boundary exits (SIGTERM path).
+
+_WRITER = None
+_PENDING: List[Any] = []
+
+
+def _writer():
+    global _WRITER
+    if _WRITER is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _WRITER = ThreadPoolExecutor(1, thread_name_prefix="ckpt-writer")
+    return _WRITER
+
+
+def _submit_write(fn, *args) -> None:
+    failed = None
+    for f in list(_PENDING):         # retire finished writes
+        if f.done():
+            _PENDING.remove(f)
+            if failed is None:
+                failed = f.exception()
+    _PENDING.append(_writer().submit(fn, *args))
+    if failed is not None:
+        raise failed
+
+
+def drain_writes() -> None:
+    """Block until every enqueued checkpoint write has hit disk; re-raises
+    the first write error."""
+    global _PENDING
+    pending, _PENDING = _PENDING, []
+    for f in pending:
+        f.result()
 
 
 def load_tree(path: str):
@@ -129,11 +196,17 @@ def load_with_mismatch(target_tree, loaded_flat: Dict[str, np.ndarray]
 # ---------------------------------------------------------------------------
 
 class ModelSaver:
-    """Step-addressed param checkpoints (load_save.py:43-68)."""
+    """Step-addressed param checkpoints (load_save.py:43-68).
 
-    def __init__(self, output_dir: str, prefix: str = "model_step"):
+    ``async_write=True`` keeps only the D2H fetch on the calling thread and
+    writes the npz from the shared background writer (drain_writes() blocks
+    until durable)."""
+
+    def __init__(self, output_dir: str, prefix: str = "model_step",
+                 async_write: bool = False):
         self.output_dir = output_dir
         self.prefix = prefix
+        self.async_write = async_write
         os.makedirs(output_dir, exist_ok=True)
 
     def path(self, step: int) -> str:
@@ -141,7 +214,10 @@ class ModelSaver:
 
     def save(self, step: int, params) -> str:
         p = self.path(step)
-        save_tree(p, params)
+        if self.async_write:
+            _submit_write(_write_npz, p, fetch_tree_host(params))
+        else:
+            save_tree(p, params)
         return p
 
     def available_steps(self) -> List[int]:
@@ -165,10 +241,12 @@ class TrainingRestorer:
     yields (global_step, state_tree) if a bundle exists.
     """
 
-    def __init__(self, output_dir: str, save_steps: int):
+    def __init__(self, output_dir: str, save_steps: int,
+                 async_write: bool = False):
         self.save_steps = max(1, int(save_steps))
         self.restore_path = os.path.join(output_dir, "restore.npz")
         self.backup_path = os.path.join(output_dir, "restore_backup.npz")
+        self.async_write = async_write
         os.makedirs(output_dir, exist_ok=True)
 
     @property
@@ -183,16 +261,26 @@ class TrainingRestorer:
         return False
 
     def save(self, global_step: int, state_tree) -> None:
+        bundle = {"global_step": np.int64(global_step), "state": state_tree}
+        if self.async_write:
+            # fetch now (donation safety); rotate-then-write later on the
+            # single writer thread — one thread keeps successive saves'
+            # rotations in order
+            host = fetch_tree_host(bundle)
+            _submit_write(self._rotate_and_write, host)
+        else:
+            self._rotate_and_write(fetch_tree_host(bundle))
+
+    def _rotate_and_write(self, host_flat: Dict[str, np.ndarray]) -> None:
         # rotate current -> backup (atomic), then write fresh
         if os.path.exists(self.restore_path):
             os.replace(self.restore_path, self.backup_path)
-        save_tree(self.restore_path,
-                  {"global_step": np.int64(global_step),
-                   "state": state_tree})
+        _write_npz(self.restore_path, host_flat)
 
     def restore(self):
         """(global_step, state_tree) or None; falls back to the backup if
         the primary is torn (load_save.py:264-276)."""
+        drain_writes()
         for path in (self.restore_path, self.backup_path):
             if not os.path.exists(path):
                 continue

@@ -299,7 +299,8 @@ def _train_loop(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
     if out_dir:
         restorer = checkpoint.TrainingRestorer(
             out_dir, save_steps=max(
-                1, int(run_cfg.save_steps_ratio * num_train_steps)))
+                1, int(run_cfg.save_steps_ratio * num_train_steps)),
+            async_write=True)
         resumed = restorer.restore()
         if resumed is not None:
             global_step, state_tree = resumed
@@ -310,7 +311,10 @@ def _train_loop(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
                                  state_tree["opt"]["nu"]))
             LOGGER.info(f"resumed from restore bundle at step {global_step}")
     state = replicate_tree(mesh, state)
-    saver = checkpoint.ModelSaver(out_dir) if (main and out_dir) else None
+    # async: only the D2H fetch blocks the loop; serialization + disk
+    # writes run on the checkpoint writer thread (drained before return)
+    saver = (checkpoint.ModelSaver(out_dir, async_write=True)
+             if (main and out_dir) else None)
 
     running = RunningMeter("train_loss")
     history = []
@@ -432,6 +436,10 @@ def _train_loop(run_cfg: RunConfig, model_cfg: ModelConfig, spec: TaskSpec,
     if pending is not None:
         consume(pending)
     trace.close()
+    # make every enqueued checkpoint durable before returning — the
+    # SIGTERM/preemption path relies on the bundle being on disk when the
+    # process exits (tests/test_graceful_stop.py)
+    checkpoint.drain_writes()
     return {"params": state.params, "global_step": global_step,
             "history": history, "state": state,
             "task_loss": {t: m.val for t, m in task_meters.items()}}

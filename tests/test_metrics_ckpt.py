@@ -143,6 +143,54 @@ def test_training_restorer_rotation_and_resume(tmp_path, rng_np):
     tree_eq(state_b, s1)
 
 
+def test_async_model_saver_matches_sync(tmp_path, rng_np):
+    params = {"w": rng_np.standard_normal((8, 4)).astype(np.float32),
+              "b": {"v": rng_np.standard_normal(4).astype(np.float32)}}
+    sync = checkpoint.ModelSaver(str(tmp_path / "sync"))
+    asyn = checkpoint.ModelSaver(str(tmp_path / "asyn"), async_write=True)
+    p_sync = sync.save(5, params)
+    p_asyn = asyn.save(5, params)
+    checkpoint.drain_writes()            # async save durable after drain
+    tree_eq(checkpoint.load_tree(p_sync), checkpoint.load_tree(p_asyn))
+
+
+def test_async_restorer_rotation_order(tmp_path, rng_np):
+    """Back-to-back async saves must rotate in submission order: the
+    primary ends at the LAST save, the backup one before it."""
+    r = checkpoint.TrainingRestorer(str(tmp_path), save_steps=1,
+                                    async_write=True)
+    states = [{"params": {"w": np.full(3, float(i), np.float32)}}
+              for i in range(4)]
+    for i, s in enumerate(states):
+        r.save(i, s)
+    # mutate the caller's tree while the write may still be pending: the
+    # save must have snapshotted it (fetch_tree_host copies host leaves)
+    states[3]["params"]["w"][:] = -1.0
+    step, state = r.restore()            # restore() drains pending writes
+    assert step == 3
+    assert float(np.asarray(state["params"]["w"])[0]) == 3.0
+    # backup holds the save before last
+    bundle = checkpoint.load_tree(r.backup_path)
+    assert int(bundle["global_step"]) == 2
+
+
+def test_async_write_error_surfaces(tmp_path, rng_np, monkeypatch):
+    ms = checkpoint.ModelSaver(str(tmp_path), async_write=True)
+
+    def boom(path, host_flat):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(checkpoint, "_write_npz", boom)
+    ms.save(1, {"w": np.zeros(2, np.float32)})
+    monkeypatch.undo()
+    with pytest.raises(OSError, match="disk full"):
+        checkpoint.drain_writes()
+    # the queue is clear afterwards; later saves work again
+    p = ms.save(2, {"w": np.ones(2, np.float32)})
+    checkpoint.drain_writes()
+    assert os.path.exists(p)
+
+
 def test_save_training_meta(tmp_path):
     code = tmp_path / "code"
     code.mkdir()
