@@ -47,13 +47,29 @@ def multi_head_attention(
     # instead of three times and tiles the MXU 3x wider; column-block
     # concatenation plus the same fp32-accumulate / fp32-bias / single-cast
     # recipe as ops.linear makes it bit-identical to the separate matmuls
-    w = jnp.concatenate([params["query"]["kernel"], params["key"]["kernel"],
-                         params["value"]["kernel"]], axis=1)
-    b = jnp.concatenate([params["query"]["bias"], params["key"]["bias"],
-                         params["value"]["bias"]])
-    qkv = jnp.dot(hidden, w.astype(hidden.dtype),
-                  preferred_element_type=jnp.float32)
-    qkv = (qkv + b.astype(jnp.float32)).astype(hidden.dtype)
+    if "kernel_i8" in params["query"]:
+        # int8 scoring path (ops/linear.py): per-output-channel scales
+        # concatenate alongside their kernel columns, so the merged int8
+        # projection equals the three separate quantized matmuls
+        merged = {"kernel_i8": jnp.concatenate(
+                      [params[n]["kernel_i8"]
+                       for n in ("query", "key", "value")], axis=1),
+                  "kscale": jnp.concatenate(
+                      [params[n]["kscale"]
+                       for n in ("query", "key", "value")]),
+                  "bias": jnp.concatenate(
+                      [params[n]["bias"]
+                       for n in ("query", "key", "value")])}
+        qkv = linear(hidden, merged)
+    else:
+        w = jnp.concatenate([params["query"]["kernel"],
+                             params["key"]["kernel"],
+                             params["value"]["kernel"]], axis=1)
+        b = jnp.concatenate([params["query"]["bias"], params["key"]["bias"],
+                             params["value"]["bias"]])
+        qkv = jnp.dot(hidden, w.astype(hidden.dtype),
+                      preferred_element_type=jnp.float32)
+        qkv = (qkv + b.astype(jnp.float32)).astype(hidden.dtype)
     q, k, v = (t.reshape(B, L, num_heads, head_dim)
                for t in jnp.split(qkv, 3, axis=-1))
 
