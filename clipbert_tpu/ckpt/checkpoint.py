@@ -138,24 +138,38 @@ def _writer():
 
 
 def _submit_write(fn, *args) -> None:
-    failed = None
+    failures = []
     for f in list(_PENDING):         # retire finished writes
         if f.done():
             _PENDING.remove(f)
-            if failed is None:
-                failed = f.exception()
+            exc = f.exception()
+            if exc is not None:
+                failures.append(exc)
     _PENDING.append(_writer().submit(fn, *args))
-    if failed is not None:
-        raise failed
+    if failures:
+        # surface EVERY failed retired write: raise the first, log the rest
+        # (a broken deployment checkpoint must never go unreported)
+        for extra in failures[1:]:
+            from clipbert_tpu.utils.logger import LOGGER
+            LOGGER.error(f"additional checkpoint write failure: {extra!r}")
+        raise failures[0]
 
 
 def drain_writes() -> None:
     """Block until every enqueued checkpoint write has hit disk; re-raises
-    the first write error."""
+    the first write error (later failures are logged, never dropped)."""
     global _PENDING
     pending, _PENDING = _PENDING, []
-    for f in pending:
-        f.result()
+    failures = []
+    for f in pending:                # wait for ALL before raising
+        exc = f.exception()
+        if exc is not None:
+            failures.append(exc)
+    if failures:
+        for extra in failures[1:]:
+            from clipbert_tpu.utils.logger import LOGGER
+            LOGGER.error(f"additional checkpoint write failure: {extra!r}")
+        raise failures[0]
 
 
 def load_tree(path: str):

@@ -73,7 +73,10 @@ def multi_head_attention(
     q, k, v = (t.reshape(B, L, num_heads, head_dim)
                for t in jnp.split(qkv, 3, axis=-1))
 
-    use_fused = (fused is not False
+    from jax.sharding import Mesh
+    # strict gate: only True or a TP Mesh select the kernel — any other
+    # value (None, 0, ...) means "not configured" and takes the einsum path
+    use_fused = ((fused is True or isinstance(fused, Mesh))
                  and (dropout_rate == 0.0 or dropout_key is None)
                  and mask_bias is not None
                  and mask_bias.shape == (B, 1, 1, L))

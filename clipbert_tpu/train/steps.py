@@ -478,14 +478,16 @@ def fused_attn_default(mesh: Optional[Mesh] = None, num_heads: int = 12):
     compile_cache/pallas interpret gating."""
     if jax.default_backend() == "cpu":
         return False
-    if jax.local_device_count() == 1:
-        return True
-    if mesh is None:
-        return False
-    if mesh.shape[MODEL_AXIS] == 1:
-        return True
-    # TP: heads must divide across the model axis for the shard_map
-    return mesh if num_heads % mesh.shape[MODEL_AXIS] == 0 else False
+    # the mesh decides BEFORE the local-device-count shortcut: a multi-host
+    # TP mesh can be driven by 1-local-device processes, and returning True
+    # there would select the whole-step DP shard_map path whose replicated
+    # in_specs contradict the Megatron-sharded params
+    if mesh is not None:
+        if mesh.shape[MODEL_AXIS] == 1:
+            return True
+        # TP: heads must divide across the model axis for the shard_map
+        return mesh if num_heads % mesh.shape[MODEL_AXIS] == 0 else False
+    return jax.local_device_count() == 1
 
 
 def make_text_score_step(cfg: ModelConfig, ts: TaskSettings,
