@@ -134,6 +134,24 @@ def device_batch(batch: Dict, mesh, mean=None, std=None, compute_dtype=None,
     return dev, host
 
 
+# How many deferred eval fetches may stay in flight. Deferring D2H
+# conversions keeps the host decoding/dispatching instead of blocking per
+# batch, but an unbounded `pending` list retains every batch's device
+# logits until the loop ends — for VQA's ~3k-label head on a large val set
+# that is GBs of extra HBM. A window of a few batches keeps the overlap
+# (the oldest entry's async copy has long completed by the time it drains)
+# while bounding retained device buffers to O(window).
+EVAL_FETCH_WINDOW = 4
+
+
+def drain_pending(pending: List, convert: Callable[[Any], None],
+                  limit: int = EVAL_FETCH_WINDOW) -> None:
+    """Convert (fetch) the oldest deferred entries until at most ``limit``
+    remain in flight; call with ``limit=0`` after the loop to flush."""
+    while len(pending) > limit:
+        convert(pending.pop(0))
+
+
 def restore_inference_config(cfg: RunConfig) -> RunConfig:
     """At inference, replay the stored training args except inference_* keys
     (run_video_retrieval.py:737-766)."""

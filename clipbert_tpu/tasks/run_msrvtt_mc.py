@@ -39,17 +39,12 @@ def inference_mc(cfg: RunConfig, model_cfg, params,
     dl = common.build_eval_loader(ds, coll, cfg,
                                   batch_size=cfg.inference_batch_size)
     preds = {}
-    # deferred fetches: async D2H per batch, converted after the loop so
-    # decode/dispatch of batch i+1 overlaps batch i's compute (see
-    # run_video_retrieval.inference_retrieval)
-    pending = []
-    for batch in dl:
-        dev, host = common.device_batch(batch, mesh, cfg=cfg,
-                                        compute_dtype=compute_dtype)
-        out = eval_fn(params, dev)
-        out["logits"].copy_to_host_async()
-        pending.append((host, out["logits"]))
-    for host, logits_dev in pending:
+    # deferred fetches: async D2H per batch, converted in a sliding window
+    # so decode/dispatch of batch i+1 overlaps batch i's compute without
+    # retaining every batch's device logits (common.drain_pending)
+
+    def convert(entry):
+        host, logits_dev = entry
         logits = np.asarray(logits_dev)     # (B_v*5, num_labels)
         if cfg.loss_type == "ce":
             e = np.exp(logits - logits.max(-1, keepdims=True))
@@ -60,6 +55,16 @@ def inference_mc(cfg: RunConfig, model_cfg, params,
         qids = host["question_ids"][::5]
         for qid, p in zip(qids, prob.argmax(-1)):
             preds[qid] = int(p)
+
+    pending = []
+    for batch in dl:
+        dev, host = common.device_batch(batch, mesh, cfg=cfg,
+                                        compute_dtype=compute_dtype)
+        out = eval_fn(params, dev)
+        out["logits"].copy_to_host_async()
+        pending.append((host, out["logits"]))
+        common.drain_pending(pending, convert)
+    common.drain_pending(pending, convert, limit=0)
     gathered = dist.all_gather_objects(preds)
     merged = {k: v for rank in gathered for k, v in rank.items()}
     metrics = ds.evaluate_qa_accuracy(merged, force_same=True)

@@ -87,9 +87,18 @@ def build_validate(cfg: RunConfig, val_ds: VideoQADataset, val_loader, mesh,
                    compute_dtype):
     def validate(params, eval_fn) -> Dict:
         # fetches are deferred: an async D2H copy starts per batch and the
-        # conversion runs after the loop, so the host keeps decoding and
-        # dispatching instead of blocking on each batch's logits
-        # (run_video_retrieval.inference_retrieval has the measured A/B)
+        # conversion runs in a sliding window, so the host keeps decoding
+        # and dispatching instead of blocking on each batch's logits while
+        # bounding retained device buffers (common.drain_pending;
+        # run_video_retrieval.inference_retrieval has the measured A/B)
+        results = []
+
+        def convert(entry):
+            qids, logits = entry
+            preds = np.asarray(logits).argmax(-1)
+            for qid, p in zip(qids, preds):
+                results.append({"question_id": qid, "answer": int(p)})
+
         pending = []
         for batch in val_loader:
             dev, host = common.device_batch(batch, mesh, cfg=cfg,
@@ -97,11 +106,8 @@ def build_validate(cfg: RunConfig, val_ds: VideoQADataset, val_loader, mesh,
             out = eval_fn(params, dev)
             out["logits"].copy_to_host_async()
             pending.append((host["question_ids"], out["logits"]))
-        results = []
-        for qids, logits in pending:
-            preds = np.asarray(logits).argmax(-1)
-            for qid, p in zip(qids, preds):
-                results.append({"question_id": qid, "answer": int(p)})
+            common.drain_pending(pending, convert)
+        common.drain_pending(pending, convert, limit=0)
         gathered = [r for rank in dist.all_gather_objects(results)
                     for r in rank]
         metrics = val_ds.evaluate_tgif_qa(gathered)

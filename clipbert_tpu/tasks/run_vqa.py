@@ -55,9 +55,19 @@ def make_task_settings(cfg: RunConfig, is_train: bool = True
 def build_validate(cfg: RunConfig, val_ds: VQADataset, val_loader, mesh,
                    compute_dtype):
     def validate(params, eval_fn) -> Dict:
-        # deferred fetches (async D2H per batch, one conversion pass after
-        # the loop) keep the host decoding/dispatching instead of blocking
-        # per batch — see run_video_retrieval.inference_retrieval
+        # deferred fetches (async D2H per batch, converted in a sliding
+        # window) keep the host decoding/dispatching instead of blocking
+        # per batch, without retaining every batch's (B, num_labels) device
+        # logits until the loop ends — see common.drain_pending
+        results = []
+
+        def convert(entry):
+            qids, logits_dev = entry
+            preds = np.asarray(logits_dev).argmax(-1)
+            for qid, p in zip(qids, preds):
+                results.append({"question_id": qid,
+                                "answer": val_ds.label2ans[int(p)]})
+
         pending = []
         for batch in val_loader:
             dev, host = common.device_batch(batch, mesh, cfg=cfg,
@@ -65,12 +75,8 @@ def build_validate(cfg: RunConfig, val_ds: VQADataset, val_loader, mesh,
             out = eval_fn(params, dev)
             out["logits"].copy_to_host_async()
             pending.append((host["question_ids"], out["logits"]))
-        results = []
-        for qids, logits_dev in pending:
-            preds = np.asarray(logits_dev).argmax(-1)
-            for qid, p in zip(qids, preds):
-                results.append({"question_id": qid,
-                                "answer": val_ds.label2ans[int(p)]})
+            common.drain_pending(pending, convert)
+        common.drain_pending(pending, convert, limit=0)
         gathered = [r for rank in dist.all_gather_objects(results)
                     for r in rank]
         metrics = val_ds.evaluate_vqa(gathered)
