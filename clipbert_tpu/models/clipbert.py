@@ -38,7 +38,7 @@ from clipbert_tpu.core.config import ModelConfig
 from clipbert_tpu.core.rng import RngGen
 from clipbert_tpu.models import bert, resnet, visual_embed
 from clipbert_tpu.ops.dropout import dropout
-from clipbert_tpu.ops.linear import linear
+from clipbert_tpu.ops.linear import linear, quantize_dense
 
 Params = Dict[str, Any]
 
@@ -164,6 +164,39 @@ def fold_cnn_bn_scales(params: Params) -> Params:
     cnn["resnet"] = resnet.fold_bn_scales(cnn["resnet"])
     out["cnn"] = cnn
     return out
+
+
+def quantize_scoring_params(params: Params) -> Params:
+    """Opt-in int8 param prep for inference SCORING only (ops/linear.py):
+    every transformer matmul kernel that flows through ops.linear — the
+    stacked encoder QKV / attention-output / FFN kernels, the pooler, and
+    the classifier head — becomes {kernel_i8, kscale}; `linear` dispatches
+    on the key, and ops.attention merges the three quantized QKV kernels
+    column-wise (scales concatenate alongside their columns, so the merged
+    projection equals the three separate quantized matmuls exactly —
+    tests/test_int8.py pins this). Embedding tables, LayerNorms, biases,
+    the MLM head (tied weights) and the CNN stay fp. Training and parity
+    oracles never call this."""
+    enc = params["transformer"]["bert"]["encoder"]
+    q_enc = {
+        "attention": {
+            "self": {n: quantize_dense(enc["attention"]["self"][n])
+                     for n in ("query", "key", "value")},
+            "output": {"dense": quantize_dense(
+                           enc["attention"]["output"]["dense"]),
+                       "ln": enc["attention"]["output"]["ln"]},
+        },
+        "intermediate": {"dense": quantize_dense(enc["intermediate"]["dense"])},
+        "output": {"dense": quantize_dense(enc["output"]["dense"]),
+                   "ln": enc["output"]["ln"]},
+    }
+    bert_p = dict(params["transformer"]["bert"], encoder=q_enc)
+    bert_p["pooler"] = {"dense": quantize_dense(bert_p["pooler"]["dense"])}
+    tp = dict(params["transformer"], bert=bert_p)
+    if "classifier" in tp:
+        tp["classifier"] = {k: quantize_dense(v)
+                            for k, v in tp["classifier"].items()}
+    return dict(params, transformer=tp)
 
 
 def repeat_for_texts(visual_feats: jnp.ndarray, group_size: int) -> jnp.ndarray:
