@@ -126,6 +126,8 @@ class BertTokenizer:
         self.sep_token_id = self.vocab["[SEP]"]
         self.mask_token_id = self.vocab["[MASK]"]
 
+    SPECIAL_TOKENS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
     @classmethod
     def from_dir(cls, tokenizer_dir: str, **kw) -> "BertTokenizer":
         return cls(os.path.join(tokenizer_dir, "vocab.txt"), **kw)
@@ -133,10 +135,37 @@ class BertTokenizer:
     def __len__(self) -> int:
         return len(self.vocab)
 
+    def _split_specials(self, text: str):
+        """Yield (chunk, is_special): literal special tokens in the input
+        are matched verbatim (case-sensitive, BEFORE lowercasing) and never
+        split — the HF tokenizers' added-token behavior
+        (tests/test_tokenizer_hf_parity.py pins it against both HF
+        implementations)."""
+        i = 0
+        start = 0
+        n = len(text)
+        while i < n:
+            for sp in self.SPECIAL_TOKENS:
+                if text.startswith(sp, i):
+                    if start < i:
+                        yield text[start:i], False
+                    yield sp, True
+                    i += len(sp)
+                    start = i
+                    break
+            else:
+                i += 1
+        if start < n:
+            yield text[start:], False
+
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
-        for tok in self.basic.tokenize(text):
-            out.extend(self.wordpiece.tokenize(tok))
+        for chunk, is_special in self._split_specials(text):
+            if is_special:
+                out.append(chunk)
+                continue
+            for tok in self.basic.tokenize(chunk):
+                out.extend(self.wordpiece.tokenize(tok))
         return out
 
     def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
