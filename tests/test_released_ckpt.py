@@ -87,47 +87,21 @@ def test_released_msrvtt_retrieval_r1():
     """Full-matrix MSRVTT retrieval with the released e2e model: t2v R@1
     within 1 point of the published 22.0 (reference README.md:109-124).
 
-    The eval protocol (fps 2 / num_frm 2 / 16 uniform clips / LSE, reference
-    msrvtt_ret_base_resnet50.json:17-23) is LOADED from the task config file
-    rather than hand-picked, so this test cannot drift from the protocol the
-    released model was evaluated under."""
-    from clipbert_tpu.core.config import load_run_config
-    from clipbert_tpu.core.mesh import make_mesh
-    from clipbert_tpu.data.datasets import VideoRetrievalEvalDataset, \
-        load_jsonl
-    from clipbert_tpu.tasks import common
-    from clipbert_tpu.tasks.run_video_retrieval import inference_retrieval
-    from clipbert_tpu.train import trainer
-    from clipbert_tpu.models import clipbert
+    Runs through `clipbert_tpu.verify_ckpt.run_verification` — the SAME
+    code path as the one-command harness (`python -m
+    clipbert_tpu.verify_ckpt`), so the gated test and the harness cannot
+    drift. The eval protocol (fps 2 / num_frm 2 / 16 uniform clips / LSE,
+    reference msrvtt_ret_base_resnet50.json:17-23) is LOADED from the task
+    config file rather than hand-picked."""
+    from clipbert_tpu.verify_ckpt import (PAPER_MSRVTT_T2V, format_report,
+                                          run_verification)
 
-    cfg = load_run_config([
-        "--config", "configs/msrvtt_ret_base_resnet50.json",
-        "--tokenizer_dir", os.environ.get(
-            "CLIPBERT_TOKENIZER", "configs/bert-base-uncased"),
-        "--e2e_weights_path", CKPT,
-        "--num_labels", "2",
-        "--output_dir", "",
-    ])
-    assert (cfg.fps, cfg.num_frm, cfg.inference_n_clips,
-            cfg.score_agg_func, cfg.loss_type) == (2, 2, 16, "lse", "ce")
-    model_cfg = common.load_model_config(cfg)
-    model_cfg.num_labels = 2
-    mesh = make_mesh()
-    params = trainer.setup_model(cfg, model_cfg, "retrieval")
-    params = clipbert.fold_cnn_bn_scales(params)
-    params = jax.device_put(params)
-    tokenizer = common.setup_tokenizer(cfg)
-
-    raw = load_jsonl(TXT)
-    for i, d in enumerate(raw):
-        d["id"] = i
-    ds = VideoRetrievalEvalDataset(
-        raw, tokenizer, common.setup_store(IMG), fps=cfg.fps,
-        num_frm=cfg.num_frm, max_img_size=cfg.max_img_size,
-        max_txt_len=cfg.max_txt_len, ensemble_n_clips=cfg.inference_n_clips,
-        device_preprocess=True)
-    m = inference_retrieval(cfg, model_cfg, params, ds, mesh, jnp.bfloat16)
-    print({k: v for k, v in m.items() if k != "score_matrix"})
+    m = run_verification(
+        CKPT, TXT, IMG,
+        tokenizer_dir=os.environ.get("CLIPBERT_TOKENIZER",
+                                     "configs/bert-base-uncased"))
+    assert m["protocol"]["inference_n_clips"] == 16
+    print(format_report(m))
     # t2v_r1 is already in percent (metrics_from_ranks scales by 100,
     # matching the reference's get_retrieval_metric_from_bool_matrix)
-    assert abs(m["t2v_r1"] - 22.0) <= 1.0
+    assert abs(m["t2v_r1"] - PAPER_MSRVTT_T2V["t2v_r1"]) <= 1.0

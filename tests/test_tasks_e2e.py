@@ -397,3 +397,57 @@ def test_pretrain_to_finetune_handoff(workspace):
     result = run_video_retrieval.start_training(cfg)
     assert result["global_step"] == 3
     assert "t2v_r1" in result["history"][-1]["val"]
+
+
+def test_verify_ckpt_harness_smoke(workspace):
+    """The one-command released-checkpoint harness
+    (`python -m clipbert_tpu.verify_ckpt`) runs offline end-to-end on a
+    synthetic checkpoint + video store: import -> full-matrix retrieval
+    eval -> report. This is the same run_verification code path the gated
+    released-ckpt test uses, so the harness is proven executable before
+    the real artifacts exist."""
+    import json
+
+    import jax
+
+    from clipbert_tpu import verify_ckpt
+    from clipbert_tpu.ckpt import checkpoint
+    from clipbert_tpu.core.config import ModelConfig
+    from clipbert_tpu.models import clipbert
+
+    root = workspace["root"]
+    rows = [{"vid_id": f"vid{i}", "txt": f"a dog jumps {i}", "id": i}
+            for i in range(4)]
+    ann = root / "verify_ret.jsonl"
+    write_jsonl(ann, rows)
+
+    model_cfg = ModelConfig.from_json(workspace["model_config"],
+                                      num_labels=2, loss_type="ce")
+    params = clipbert.init_clipbert(jax.random.key(3), model_cfg,
+                                    "retrieval")
+    ckpt_path = root / "verify_model.npz"
+    checkpoint.save_tree(str(ckpt_path), params)
+
+    run_cfg = {"model_config": workspace["model_config"], "fps": 4,
+               "num_frm": 1, "inference_n_clips": 2,
+               "score_agg_func": "lse", "max_img_size": 64,
+               "max_txt_len": 10, "loss_type": "ce",
+               "inference_batch_size": 4, "bf16": False}
+    cfg_path = root / "verify_cfg.json"
+    cfg_path.write_text(json.dumps(run_cfg))
+
+    m = verify_ckpt.run_verification(
+        str(ckpt_path), str(ann), workspace["vid_store"],
+        workspace["tokenizer_dir"], config=str(cfg_path))
+    for k in ("t2v_r1", "t2v_r5", "v2t_r1", "t2v_medianR"):
+        assert k in m, k
+    assert m["protocol"]["inference_n_clips"] == 2
+    report = verify_ckpt.format_report(m)
+    assert "paper" in report and "t2v_r1" in report
+    # 1-clip override reaches the protocol (the fast smoke setting)
+    m1 = verify_ckpt.run_verification(
+        str(ckpt_path), str(ann), workspace["vid_store"],
+        workspace["tokenizer_dir"], config=str(cfg_path),
+        inference_n_clips=1, data_ratio=0.5)
+    assert m1["protocol"]["inference_n_clips"] == 1
+    assert m1["protocol"]["n_examples"] == 2
