@@ -177,9 +177,17 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
         groups = [my_videos[i:i + vb] for i in range(0, len(my_videos), vb)]
 
         def load(group):
+            # per-stage spans feed stage_stats (decode_s / put_s): the
+            # loader thread's ACTUAL in-run cost, measured under whatever
+            # core contention and put-blocking the platform imposes — so a
+            # data_wait above the standalone serial-decode floor is
+            # attributed in the artifact, not left as mystery seconds
+            # (BENCH_r04 carried ~1.6 s of unexplained wait)
+            t0 = _time.perf_counter()
             items = [eval_ds[v] for v in group]
             items += [items[-1]] * (vb - len(group))   # tail pad, no re-decode
             vis, src_hw = transforms.collate_visual(items)
+            t1 = _time.perf_counter()
             # start the H2D transfer from the worker thread so it overlaps
             # the scoring of the previous group (host->device bandwidth is
             # the binding constraint on tunneled/remote TPU hosts); shard
@@ -189,6 +197,9 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
             vis = jax.device_put(vis, vis_sh)
             if src_hw is not None:
                 src_hw = jax.device_put(src_hw, vis_sh)
+            t2 = _time.perf_counter()
+            st["decode_s"] += t1 - t0
+            st["put_s"] += t2 - t1
             return group, vis, src_hw
 
         # Decode concurrency is clamped to the physical cores: decode is
@@ -205,7 +216,12 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
             yield from pool.map(load, groups)
 
     st = {"setup_s": _time.perf_counter() - t_setup, "data_wait_s": 0.0,
-          "dispatch_s": 0.0, "fetch_s": 0.0, "n_groups": 0}
+          "dispatch_s": 0.0, "fetch_s": 0.0, "n_groups": 0,
+          # loader-thread spans (written by `load` above; single writer per
+          # field under the 1..n_threads pool, += on floats is safe enough
+          # for telemetry): decode_s = dataset+collate, put_s = device_put
+          # issuance (can block on transfer-buffer handoff on remote hosts)
+          "decode_s": 0.0, "put_s": 0.0}
     rows = []  # (video_idx, scores (n_caps,))
     pending = []  # (group, device scores) — fetched after the loop
     batches_iter = iter(video_batches())
