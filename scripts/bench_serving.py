@@ -45,10 +45,102 @@ def make_mp4(w=320, h=240, frames=96, fps=12.0) -> bytes:
             return f.read()
 
 
+def sustained_load(scorer, blob: bytes, captions, seconds: float,
+                   clients: int, port: int = 8491):
+    """N concurrent HTTP clients hammering /score for ~`seconds`:
+    throughput + tail latency + recompile count under the concurrency the
+    thread-safety argument in serve.py:22-33 covers. Recompiles are counted
+    via jax.monitoring's backend-compile events — the documented worst-case
+    race is a redundant duplicate compile, and after warmup there must be
+    ZERO (asserted by the caller via the returned count)."""
+    import base64
+    import http.client
+    import threading
+
+    import jax
+
+    from clipbert_tpu.serve import make_http_server
+
+    server = make_http_server(scorer, port=port)
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+    payload = json.dumps({"video_b64": base64.b64encode(blob).decode(),
+                          "captions": captions})
+    headers = {"Content-Type": "application/json"}
+
+    def one_request(conn):
+        t0 = time.perf_counter()
+        conn.request("POST", "/score", payload, headers)
+        r = conn.getresponse()
+        r.read()
+        return r.status, (time.perf_counter() - t0) * 1e3
+
+    # per-client warmup (connection + any residual compile) BEFORE the
+    # compile counter arms
+    conns = [http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+             for _ in range(clients)]
+    for c in conns:
+        status, _ = one_request(c)
+        assert status == 200, status
+
+    compiles = []
+    try:
+        jax.monitoring.register_event_duration_secs_listener(
+            lambda name, *a, **kw: (compiles.append(name)
+                                    if "compile" in name else None))
+        compile_counter = True
+    except Exception:                                  # noqa: BLE001
+        compile_counter = False
+
+    lock = threading.Lock()
+    lat, errors = [], [0]
+    stop_at = time.monotonic() + seconds
+
+    def client(conn):
+        while time.monotonic() < stop_at:
+            try:
+                status, ms = one_request(conn)
+            except Exception:                          # noqa: BLE001
+                with lock:
+                    errors[0] += 1
+                continue
+            with lock:
+                if status == 200:
+                    lat.append(ms)
+                else:
+                    errors[0] += 1
+        conn.close()
+
+    t_start = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c,)) for c in conns]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    server.shutdown()
+
+    lat_arr = np.array(lat) if lat else np.array([float("nan")])
+    return {
+        "qps": round(len(lat) / wall, 2),
+        "p50_ms": round(float(np.percentile(lat_arr, 50)), 1),
+        "p99_ms": round(float(np.percentile(lat_arr, 99)), 1),
+        "n_ok": len(lat), "n_err": errors[0],
+        "clients": clients, "seconds": round(wall, 1),
+        "recompiles_after_warmup": (len(compiles) if compile_counter
+                                    else None),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", type=int, default=20)
     ap.add_argument("--max_captions", type=int, default=16)
+    ap.add_argument("--sustained", type=float, default=0.0,
+                    help="also run a sustained-load phase of this many "
+                         "seconds (VERDICT r4 #7: qps/p50/p99 + zero "
+                         "recompiles under concurrency)")
+    ap.add_argument("--clients", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -101,6 +193,17 @@ def main():
             "note": "axon tunnel adds per-query H2D+RTT; device share "
                     "transfers to PCIe hosts",
         }), flush=True)
+
+        if args.sustained > 0 and n_clips == 1:
+            # sustained concurrent load at the low-latency config
+            stats = sustained_load(scorer, blob, captions, args.sustained,
+                                   args.clients)
+            print(json.dumps({
+                "metric": "serving_sustained_1clip", **stats}), flush=True)
+            rc = stats["recompiles_after_warmup"]
+            assert rc in (None, 0), (
+                f"{rc} recompiles under sustained load — the duplicate-"
+                "compile race fired after warmup (serve.py:22-33)")
 
 
 if __name__ == "__main__":

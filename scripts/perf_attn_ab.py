@@ -128,6 +128,63 @@ def main():
         lambda c, h, pp: no_core_encoder(perturb(h, c), pp)
         .astype(jnp.float32)[:, 0, 0].sum(), (hidden, p))
 
+    # ---- train-step shape (VERDICT r4 #8) --------------------------------
+    # The train step's BERT batch is ~128 joint sequences (mil_forward at
+    # the MSRVTT train config). The fused kernel has no backward (it is
+    # deliberately inference-only, ops/pallas_attention.py), so the honest
+    # A/B is: the FORWARD delta at this shape IS the fwd+bwd delta — a
+    # kernel-fwd/einsum-bwd hybrid would share the identical einsum
+    # backward, and remat only repeats the forward (doubling the delta,
+    # not changing its sign). train_fwdbwd_einsum gives the full-step
+    # denominator so the delta can be expressed as % of a train pass.
+    tb, ts_ = 128, S
+    t_hidden = jax.device_put(jnp.asarray(
+        rng.standard_normal((tb, ts_, 768)) * 0.02, jnp.bfloat16))
+    t_bias = jax.device_put(
+        bert.extended_attention_mask(jnp.asarray(mask[:tb])))
+
+    def t_timeit(name, fn, args, flops):
+        if want and name not in want:
+            return
+
+        @jax.jit
+        def loop(args):
+            def body(carry, _):
+                return fn(carry, *args), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=30)
+            return acc
+
+        t0 = time.perf_counter()
+        acc = float(np.asarray(loop(args)))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        acc = float(np.asarray(loop(args)))
+        dt = (time.perf_counter() - t0) / 30
+        assert np.isfinite(acc), (name, acc)
+        print(f"  {name}: {dt * 1000:.2f} ms/pass = "
+              f"{flops / dt / 1e12:.1f} TF/s (compile {compile_s:.0f}s)",
+              flush=True)
+
+    t_flops = tb * ts_ * 12 * (4 * 768 * 768 + 2 * 768 * 3072) * 2
+
+    t_timeit("train_fwd_einsum",
+             lambda c, h, pp: bert.encoder(pp, perturb(h, c), t_bias, cfg)
+             .astype(jnp.float32)[:, 0, 0].sum(), (t_hidden, p), t_flops)
+
+    t_timeit("train_fwd_fused",
+             lambda c, h, pp: bert.encoder(pp, perturb(h, c), t_bias, cfg,
+                                           fused_attn=True)
+             .astype(jnp.float32)[:, 0, 0].sum(), (t_hidden, p), t_flops)
+
+    def fwdbwd(c, h, pp):
+        def loss(hh, ppp):
+            return bert.encoder(ppp, hh, t_bias, cfg).astype(
+                jnp.float32).sum()
+        l, g = jax.value_and_grad(loss)(perturb(h, c), pp)
+        return l * 0 + g.astype(jnp.float32)[:, 0, 0].sum()
+
+    t_timeit("train_fwdbwd_einsum", fwdbwd, (t_hidden, p), 3 * t_flops)
+
 
 if __name__ == "__main__":
     main()
