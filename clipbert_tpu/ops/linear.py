@@ -32,7 +32,12 @@ def quantize_dense(p: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     leading dims (e.g. the scan-stacked layer axis) are preserved, so the
     encoder's (L, d_in, d_out) kernels quantize in one call and slice per
     layer inside the scan exactly like the fp kernels do.
+
+    Idempotent: already-quantized params pass through unchanged (callers
+    that share prepared params across scorer configs re-enter this path).
     """
+    if "kernel_i8" in p:
+        return p
     w = jnp.asarray(p["kernel"], jnp.float32)
     s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / _QMAX
     s = jnp.maximum(s, 1e-12)

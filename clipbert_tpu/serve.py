@@ -609,7 +609,12 @@ def main(argv: Optional[List[str]] = None):
                     help="comma-separated HxW list to pre-compile encode "
                          "programs for (e.g. '240x320,480x640'); the first "
                          "query in an unlisted 64px bucket pays a compile")
+    ap.add_argument("--quantize", type=int, default=0,
+                    help="int8-quantize the transformer matmul kernels at "
+                         "load (per-channel scales, CNN untouched; parity "
+                         "pinned by tests/test_int8.py)")
     args = ap.parse_args(argv)
+    quantize = bool(args.quantize)
     hws = [tuple(int(d) for d in r.split("x"))
            for r in args.warmup_resolutions.split(",") if r.strip()]
 
@@ -621,7 +626,7 @@ def main(argv: Optional[List[str]] = None):
         vqa = VQAScorer.from_checkpoint(
             args.model_config, args.tokenizer_dir, args.e2e_weights_path,
             args.ans2label_path, max_img_size=args.max_img_size,
-            max_questions=args.max_captions)
+            max_questions=args.max_captions, quantize=quantize)
         warm(vqa, ((480, 640),))
         server = make_http_server(None, args.host, args.port, vqa=vqa)
     elif args.task in MC_QA_TASKS + ("frameqa", "msrvtt_qa"):
@@ -631,7 +636,7 @@ def main(argv: Optional[List[str]] = None):
             n_clips=args.n_clips, num_frm=args.num_frm, fps=args.fps,
             max_img_size=args.max_img_size,
             max_questions=args.max_captions,
-            score_agg_func=args.score_agg_func)
+            score_agg_func=args.score_agg_func, quantize=quantize)
         warm(vqa_scorer, ((240, 320),))
         server = make_http_server(None, args.host, args.port,
                                   videoqa=vqa_scorer)
@@ -639,7 +644,8 @@ def main(argv: Optional[List[str]] = None):
         scorer = RetrievalScorer.from_checkpoint(
             args.model_config, args.tokenizer_dir, args.e2e_weights_path,
             n_clips=args.n_clips, num_frm=args.num_frm, fps=args.fps,
-            max_img_size=args.max_img_size, max_captions=args.max_captions)
+            max_img_size=args.max_img_size, max_captions=args.max_captions,
+            quantize=quantize)
         warm(scorer, ((240, 320),))
         server = make_http_server(scorer, args.host, args.port)
     LOGGER.info(f"serving on {args.host}:{args.port}")

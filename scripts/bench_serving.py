@@ -141,6 +141,11 @@ def main():
                          "seconds (VERDICT r4 #7: qps/p50/p99 + zero "
                          "recompiles under concurrency)")
     ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--quantize", type=int, default=0,
+                    help="int8-quantize the transformer matmuls in the "
+                         "scorer (serve.py --quantize): A/B the serving "
+                         "latency of the quantized path vs these fp "
+                         "numbers")
     args = ap.parse_args()
 
     import jax
@@ -167,7 +172,7 @@ def main():
         scorer = RetrievalScorer(
             params, cfg, tok, num_frm=2, n_clips=n_clips, fps=1,
             max_img_size=448, max_captions=args.max_captions,
-            fold_bn=first)
+            fold_bn=first, quantize=bool(args.quantize))
         params = scorer.params          # reuse folded params for config 2
         first = False
         scorer.warmup()
