@@ -16,13 +16,9 @@ Reference equivalent being matched: `horovodrun -np N` training
 (`/root/reference/README.md:93`, `src/utils/distributed.py:148-203`).
 """
 
-import io
 import json
 import os
 import pathlib
-import socket
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -130,12 +126,6 @@ def test_partial_topology_fails_loudly(monkeypatch):
     assert mesh.maybe_init_distributed() is False
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
-
-
 @pytest.fixture(scope="module")
 def mh_workspace(tmp_path_factory):
     """Synthetic retrieval corpus shared by both worker processes."""
@@ -197,31 +187,10 @@ def mh_workspace(tmp_path_factory):
 
 
 def _launch_pair(ws, round_tag: str):
-    port = _free_port()
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    procs, results = [], []
-    for pid in (0, 1):
-        res = str(ws["root"] / f"result_{round_tag}_{pid}.json")
-        results.append(res)
-        procs.append(subprocess.Popen(
-            [sys.executable, ws["worker"], str(pid), str(port),
-             ws["cfg"], res],
-            env=env, cwd=REPO, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=1500)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-    return [json.load(open(r)) for r in results]
+    from tests.mh_launch import launch_pair
+    results = [str(ws["root"] / f"result_{round_tag}_{pid}.json")
+               for pid in (0, 1)]
+    return launch_pair(ws["worker"], ws["cfg"], results, REPO)
 
 
 def test_two_process_train_validate_resume(mh_workspace):

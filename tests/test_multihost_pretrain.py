@@ -15,11 +15,7 @@ Run layout mirrors tests/test_multihost.py (the retrieval variant).
 
 import io
 import json
-import os
 import pathlib
-import socket
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -69,12 +65,6 @@ with open(result_path, "w") as f:
     json.dump(out, f)
 print("WORKER_DONE", pid)
 '''
-
-
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
 
 
 @pytest.fixture(scope="module")
@@ -148,31 +138,9 @@ def mh_workspace(tmp_path_factory):
 
 def test_two_process_pretrain(mh_workspace):
     ws = mh_workspace
-    port = _free_port()
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    procs, results = [], []
-    for pid in (0, 1):
-        res = str(ws["root"] / f"result_{pid}.json")
-        results.append(res)
-        procs.append(subprocess.Popen(
-            [sys.executable, ws["worker"], str(pid), str(port),
-             ws["cfg"], res],
-            env=env, cwd=REPO, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=1500)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-    r0, r1 = [json.load(open(r)) for r in results]
+    from tests.mh_launch import launch_pair
+    results = [str(ws["root"] / f"result_{pid}.json") for pid in (0, 1)]
+    r0, r1 = launch_pair(ws["worker"], ws["cfg"], results, REPO)
 
     # same 3 debug updates on both hosts
     assert r0["global_step"] == 3 and r1["global_step"] == 3
