@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--num_frm", type=int, default=2)
     ap.add_argument("--video_batch", type=int, default=8)
     ap.add_argument("--caption_batch", type=int, default=64)
+    ap.add_argument("--quantize", type=int, default=0,
+                    help="int8-quantize the transformer matmul kernels "
+                         "(clipbert.quantize_scoring_params) — measures the "
+                         "opt-in serving quantization at the full-matrix "
+                         "eval shape")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +93,8 @@ def main():
     mesh = make_mesh()
     params = clipbert.init_clipbert(jax.random.key(0), model_cfg, "retrieval")
     params = clipbert.fold_cnn_bn_scales(params)
+    if args.quantize:
+        params = clipbert.quantize_scoring_params(params)
     params = jax.device_put(params)
 
     # warm compiles on a 2-video slice
@@ -104,6 +111,7 @@ def main():
     per_video = dt / args.n_videos
     print(json.dumps({
         "metric": "msrvtt_retrieval_full_matrix_eval",
+        "quantize": bool(args.quantize),
         "n_videos": args.n_videos, "n_captions": args.n_captions,
         "n_clips": args.n_clips, "seconds": round(dt, 1),
         "sec_per_video_vs_1000_caps": round(per_video, 3),
