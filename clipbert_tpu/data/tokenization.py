@@ -144,7 +144,12 @@ class BertTokenizer:
         i = 0
         start = 0
         n = len(text)
-        while i < n:
+        # every special starts with '[' — ordinary captions skip straight
+        # to the tail yield without a per-character scan
+        while True:
+            i = text.find("[", i)
+            if i == -1:
+                break
             for sp in self.SPECIAL_TOKENS:
                 if text.startswith(sp, i):
                     if start < i:

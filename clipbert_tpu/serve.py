@@ -70,9 +70,12 @@ def _prepare_params(params, fold_bn: bool, quantize: bool = False):
     cache (restarts must not pay the minutes-long server-side recompile;
     serve never builds a mesh, where the runners latch it), fold the
     frozen-BN scales into the conv kernels, optionally int8-quantize the
-    transformer matmul kernels (clipbert.quantize_scoring_params — measured
-    1.5x matmul throughput, small score perturbation; tests/test_int8.py),
-    move params to device."""
+    transformer matmul kernels (clipbert.quantize_scoring_params — an
+    HBM-FOOTPRINT option only: it halves transformer weight bytes but
+    measured 31% SLOWER end-to-end scoring at the eval shape, where bf16
+    already runs the MXU at full rate and the quantize/dequantize epilogues
+    are pure overhead — PARITY.md; small score perturbation pinned by
+    tests/test_int8.py), move params to device."""
     from clipbert_tpu.core import compile_cache
     compile_cache.enable()
     if fold_bn:

@@ -18,6 +18,7 @@ caption "id" equal to their line index.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict
 
 import numpy as np
@@ -198,8 +199,9 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
             if src_hw is not None:
                 src_hw = jax.device_put(src_hw, vis_sh)
             t2 = _time.perf_counter()
-            st["decode_s"] += t1 - t0
-            st["put_s"] += t2 - t1
+            with st_lock:   # pool threads accumulate concurrently
+                st["decode_s"] += t1 - t0
+                st["put_s"] += t2 - t1
             return group, vis, src_hw
 
         # Decode concurrency is clamped to the physical cores: decode is
@@ -217,11 +219,12 @@ def inference_retrieval(cfg: RunConfig, model_cfg: ModelConfig, params,
 
     st = {"setup_s": _time.perf_counter() - t_setup, "data_wait_s": 0.0,
           "dispatch_s": 0.0, "fetch_s": 0.0, "n_groups": 0,
-          # loader-thread spans (written by `load` above; single writer per
-          # field under the 1..n_threads pool, += on floats is safe enough
-          # for telemetry): decode_s = dataset+collate, put_s = device_put
-          # issuance (can block on transfer-buffer handoff on remote hosts)
+          # loader-thread spans (written by `load` above under st_lock —
+          # several pool threads run concurrently on multi-core hosts):
+          # decode_s = dataset+collate, put_s = device_put issuance (can
+          # block on transfer-buffer handoff on remote hosts)
           "decode_s": 0.0, "put_s": 0.0}
+    st_lock = threading.Lock()
     rows = []  # (video_idx, scores (n_caps,))
     pending = []  # (group, device scores) — fetched after the loop
     batches_iter = iter(video_batches())

@@ -88,6 +88,7 @@ def run_verification(e2e_weights_path: str, txt_db: str, img_db: str,
         "fps": cfg.fps, "num_frm": cfg.num_frm,
         "inference_n_clips": cfg.inference_n_clips,
         "score_agg_func": cfg.score_agg_func,
+        "loss_type": cfg.loss_type,
         "max_img_size": cfg.max_img_size, "n_examples": len(raw)}
     return metrics
 

@@ -180,8 +180,15 @@ def main():
         def loss(hh, ppp):
             return bert.encoder(ppp, hh, t_bias, cfg).astype(
                 jnp.float32).sum()
-        l, g = jax.value_and_grad(loss)(perturb(h, c), pp)
-        return l * 0 + g.astype(jnp.float32)[:, 0, 0].sum()
+        # differentiate wrt the params TOO and consume every weight-grad
+        # leaf in full — grad-wrt-input-only skips all the x^T@dy dW
+        # matmuls (and fetching a single element lets XLA slice-DCE them),
+        # which would undercount the 3x-forward train pass by ~1x
+        l, (gh, gp) = jax.value_and_grad(loss, argnums=(0, 1))(
+            perturb(h, c), pp)
+        gp_sum = sum(leaf.astype(jnp.float32).sum()
+                     for leaf in jax.tree_util.tree_leaves(gp))
+        return l * 0 + gh.astype(jnp.float32)[:, 0, 0].sum() + gp_sum
 
     t_timeit("train_fwdbwd_einsum", fwdbwd, (t_hidden, p), 3 * t_flops)
 

@@ -195,7 +195,15 @@ def health_probe(timeout_s: float = 90.0):
     if p.is_alive():
         p.kill()
         raise SystemExit("health probe timed out: platform wedged, aborting")
-    print(f"health probe ok ({q.get():.0f})", flush=True)
+    if p.exitcode != 0:
+        raise SystemExit(
+            f"health probe child exited {p.exitcode}: platform broken, "
+            "aborting")
+    try:
+        val = q.get(timeout=10)
+    except Exception:
+        raise SystemExit("health probe returned no result, aborting")
+    print(f"health probe ok ({val:.0f})", flush=True)
 
 
 def main():
@@ -250,7 +258,15 @@ def main():
             pA.kill()
             raise SystemExit("phase A never produced a restore bundle")
         time.sleep(0.5)
-    assert pA.poll() is None, pA.communicate()[0][-4000:]
+    if pA.poll() is not None:
+        # the worker can legitimately finish every step inside one poll
+        # interval when --steps is tiny; that's a parameterization error,
+        # not a training failure — say so instead of an opaque assert
+        outA = pA.communicate()[0]
+        raise SystemExit(
+            f"phase A completed all {args.steps} steps before SIGTERM "
+            "could interrupt it — increase --steps so the run outlives "
+            "the first restore bundle.\n" + outA[-2000:])
     time.sleep(2)                       # a few more steps past the bundle
     pA.send_signal(signal.SIGTERM)
     outA, _ = pA.communicate(timeout=600)

@@ -41,8 +41,11 @@ def _is_transport_flake(out: str) -> bool:
     JaxRuntimeError does."""
     if not _TRANSPORT_PAT.search(out):
         return False
-    tb_errors = re.findall(r"^(\w+(?:\.\w+)*(?:Error|Exception)):", out,
-                           re.M)
+    # match message-less final traceback lines too (bare "AssertionError",
+    # "KeyboardInterrupt") — a real failure must never ride the retry
+    tb_errors = re.findall(
+        r"^(\w+(?:\.\w+)*(?:Error|Exception|Interrupt|Exit))(?::|\s*$)",
+        out, re.M)
     return all("JaxRuntimeError" in e or "XlaRuntimeError" in e
                for e in tb_errors)
 

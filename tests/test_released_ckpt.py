@@ -100,7 +100,12 @@ def test_released_msrvtt_retrieval_r1():
         CKPT, TXT, IMG,
         tokenizer_dir=os.environ.get("CLIPBERT_TOKENIZER",
                                      "configs/bert-base-uncased"))
-    assert m["protocol"]["inference_n_clips"] == 16
+    # pin the WHOLE published protocol, not just the clip count — a config
+    # drift (fps, agg func, ...) must fail loudly here, not silently skew
+    # the R@1 comparison (reference msrvtt_ret_base_resnet50.json:17-23)
+    p = m["protocol"]
+    assert (p["fps"], p["num_frm"], p["inference_n_clips"],
+            p["score_agg_func"], p["loss_type"]) == (2, 2, 16, "lse", "ce"), p
     print(format_report(m))
     # t2v_r1 is already in percent (metrics_from_ranks scales by 100,
     # matching the reference's get_retrieval_metric_from_bool_matrix)
